@@ -1,0 +1,293 @@
+"""CALDERA alternating solver: decompose ``W ~= Q + L @ R`` in low precision.
+
+TPU-native re-implementation of the reference algorithm
+(``rank-constrained-regression-main/src/caldera/decomposition/alg.py``):
+the whole solve is one jitted XLA computation — outer alternation via
+``lax.fori_loop``, the LPLR inner loop unrolled/scanned with static trip
+counts, quantize->dequantize fused, and best-iterate tracking by value
+(no host ``deepcopy`` per improvement as in ``alg.py:105-107``).
+
+Numerical spec (kept bit-compatible where it matters for parity tests):
+- activation-aware objective ``||(W - Q - L R) H^{1/2}||_F`` with the
+  symmetric Hessian square root (``alg.py:53-68``);
+- LPLR alternation: data-aware least squares + quantize for L then R,
+  keeping the best inner iterate by whitened residual norm (``alg.py:160-188``);
+- Q update: plain round-to-nearest quantization of ``W - L R`` (``alg.py:253-283``);
+- error metric ``sqrt(tr(E H E^T) / tr(W H W^T))`` with ``E = W_hat - W``
+  (``alg.py:286-302``);
+- optional global RMS scaling of W (``alg.py:37-42``).
+
+Deliberate deviations (documented in SURVEY.md's defect ledger):
+- ``update_order`` defaults to ``("Q", "LR")`` instead of the reference's
+  empty list that silently no-ops (``dataclasses.py:48-57``);
+- quantizer ``block_size`` is honored as configured; the reference always
+  overrides it to the whole matrix (``alg.py:247``), which corresponds to
+  ``block_size="global"`` here (the default, for parity);
+- the error metric is evaluated consistently in the scaled domain — the
+  reference mixes scales when ``scale_W=True`` (``alg.py:286-302``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ee274_convexcaldera_llm_quantization_tpu.ops import blockquant as bq
+from ee274_convexcaldera_llm_quantization_tpu.quant.quantizers import QuantizerFactory
+from ee274_convexcaldera_llm_quantization_tpu.decomp import lowrank as lr
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class CalderaParams:
+    """Parameters for the CALDERA decomposition (ref ``dataclasses.py:11-84``)."""
+
+    compute_quantized_component: bool = True
+    compute_low_rank_factors: bool = True
+    Q_bits: int = 2
+    L_bits: int = 2
+    R_bits: int = 2
+    rank: int = 64
+    iters: int = 20
+    lplr_iters: int = 5
+    activation_aware_LR: bool = True
+    update_order: Tuple[str, ...] = ("Q", "LR")
+    quant_factory_Q: QuantizerFactory = dataclasses.field(
+        default_factory=lambda: QuantizerFactory(block_size="global"))
+    quant_factory_LR: QuantizerFactory = dataclasses.field(
+        default_factory=lambda: QuantizerFactory(block_size="global"))
+    rand_svd: bool = False
+    sigma_reg: float = 0.0
+
+
+@dataclasses.dataclass
+class CalderaDecomposition:
+    """Result of a CALDERA solve (ref ``dataclasses.py:87-106``)."""
+
+    Q: Array = None
+    L: Array = None
+    R: Array = None
+    W: Array = None
+    global_scale: float = 1.0
+    errors: Dict[str, List[float]] = dataclasses.field(default_factory=dict)
+
+    def reconstruct(self) -> Array:
+        """Dense ``W_hat = global_scale * (Q + L @ R)``."""
+        return self.global_scale * (self.Q + self.L @ self.R)
+
+
+def _quantize_qd(A: Array, bits: int, factory: QuantizerFactory) -> Array:
+    """Quantize+dequantize with the factory's method/block size (static shapes)."""
+    if bits >= 16:
+        return A
+    block_size = A.size if factory.block_size == "global" else int(factory.block_size)
+    return bq.quantize_dequantize(A, bits, factory.method, block_size)
+
+
+def _whitened_norm(E: Array, H_sqrt: Array) -> Array:
+    return jnp.linalg.norm(E @ H_sqrt)
+
+
+def _aa_error(W: Array, H: Array, W_hat: Array) -> Array:
+    """``sqrt(tr(E H E^T) / tr(W H W^T))`` (ref ``alg.py:286-302``)."""
+    E = W_hat - W
+    num = jnp.sum((E @ H) * E)
+    den = jnp.sum((W @ H) * W)
+    return jnp.sqrt(num / den)
+
+
+def _update_LR(params: CalderaParams, residual: Array, H_sqrt: Array,
+               eigH: lr.EighResult, key: Array) -> Tuple[Array, Array]:
+    """LPLR on the residual ``W - Q`` (ref ``alg.py:115-198``)."""
+    L, R = lr.rank_constrained_regression(
+        residual, H_sqrt, eigH, params.rank,
+        data_aware=params.activation_aware_LR,
+        rand_svd=params.rand_svd, key=key)
+
+    if params.L_bits >= 16 and params.R_bits >= 16:
+        return L, R
+
+    RH = H_sqrt if params.activation_aware_LR else jnp.eye(
+        residual.shape[1], dtype=residual.dtype)
+
+    def body(carry, _):
+        L, R, bestL, bestR, best_err = carry
+        # L-step: min_L ||L (R Hs) - residual Hs||_F
+        A = (R @ RH).T                      # (n, r)
+        B = (residual @ RH).T               # (n, m)
+        L = lr.lstsq_qr(A, B).T             # (m, r)
+        L = _quantize_qd(L.T, params.L_bits, params.quant_factory_LR).T
+        # R-step: min_R ||L R - residual||_F
+        R = lr.lstsq_qr(L, residual)        # (r, n)
+        R = _quantize_qd(R, params.R_bits, params.quant_factory_LR)
+        err = _whitened_norm(residual - L @ R, H_sqrt)
+        better = err < best_err
+        bestL = jnp.where(better, L, bestL)
+        bestR = jnp.where(better, R, bestR)
+        best_err = jnp.minimum(err, best_err)
+        return (L, R, bestL, bestR, best_err), None
+
+    init = (L, R, L, R, jnp.asarray(jnp.inf, dtype=residual.dtype))
+    (_, _, bestL, bestR, _), _ = jax.lax.scan(
+        body, init, None, length=params.lplr_iters)
+    return bestL, bestR
+
+
+def _update_Q(params: CalderaParams, W: Array, L: Array, R: Array) -> Array:
+    """Round-to-nearest quantization of the low-rank residual (ref ``alg.py:253-283``)."""
+    residual = W - L @ R if params.compute_low_rank_factors else W
+    return _quantize_qd(residual, params.Q_bits, params.quant_factory_Q)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "identity_hessian"),
+)
+def caldera_solve(
+    params: CalderaParams,
+    W: Array,
+    H: Array,
+    global_scale: Array,
+    key: Array,
+    identity_hessian: bool = False,
+) -> Tuple[Array, Array, Array, Array]:
+    """Jitted core: returns (Q, L, R, errors).
+
+    ``errors`` has shape ``(iters, len(update_order))`` — the activation-aware
+    error after each sub-update, matching the reference's per-update error
+    history (``alg.py:104``).
+    """
+    m, n = W.shape
+    W = W.astype(jnp.float32) / global_scale
+    H = H.astype(jnp.float32)
+
+    if identity_hessian or not params.activation_aware_LR:
+        # Fast path: skip eigh (ref ``optimized_eigh``, ``alg.py:11-23``)
+        # and the non-data-aware branch that uses H as-is (``alg.py:50-52``).
+        H_sqrt = H if not params.activation_aware_LR else jnp.eye(n)
+        eigH = lr.EighResult(jnp.ones(n), jnp.eye(n))
+        if identity_hessian and params.activation_aware_LR:
+            H = jnp.eye(n)
+    else:
+        H, eigH = lr.regularized_eigh(H, params.sigma_reg)
+        H_sqrt = lr.hessian_sqrt(eigH)
+
+    Q0 = jnp.zeros((m, n), jnp.float32)
+    L0 = jnp.zeros((m, params.rank), jnp.float32)
+    R0 = jnp.zeros((params.rank, n), jnp.float32)
+    n_upd = len(params.update_order)
+
+    def outer(i, carry):
+        Q, L, R, bestQ, bestL, bestR, min_err, errors, key = carry
+        for j, mtx in enumerate(params.update_order):
+            key, sub = jax.random.split(key)
+            if mtx == "LR" and params.compute_low_rank_factors:
+                L, R = _update_LR(params, W - Q, H_sqrt, eigH, sub)
+            elif mtx == "Q" and params.compute_quantized_component:
+                Q = _update_Q(params, W, L, R)
+            err = _aa_error(W, H, Q + L @ R)
+            errors = errors.at[i, j].set(err)
+            # All components must have been updated at least once before a
+            # snapshot can win (ref ``updated`` dict, ``alg.py:90,105``): true
+            # from the end of the first outer iteration onward.
+            seen_all = jnp.logical_or(i > 0, j == n_upd - 1)
+            better = jnp.logical_and(err < min_err, seen_all)
+            bestQ = jnp.where(better, Q, bestQ)
+            bestL = jnp.where(better, L, bestL)
+            bestR = jnp.where(better, R, bestR)
+            min_err = jnp.where(better, err, min_err)
+        return Q, L, R, bestQ, bestL, bestR, min_err, errors, key
+
+    errors0 = jnp.full((params.iters, n_upd), jnp.inf, jnp.float32)
+    init = (Q0, L0, R0, Q0, L0, R0, jnp.asarray(jnp.inf, jnp.float32),
+            errors0, key)
+    out = jax.lax.fori_loop(0, params.iters, outer, init)
+    _, _, _, bestQ, bestL, bestR, _, errors, _ = out
+    return bestQ, bestL, bestR, errors
+
+
+def caldera(
+    quant_params: CalderaParams,
+    W: Array,
+    H: Optional[Array] = None,
+    *,
+    scale_W: bool = True,
+    key: Optional[Array] = None,
+) -> CalderaDecomposition:
+    """Run the CALDERA algorithm (reference driver ``alg.py:24-112``).
+
+    ``H`` is the input-activation second moment (Gram/Hessian); ``None`` means
+    identity (pure Frobenius objective). Diagonal Hessians may be passed as
+    1-D arrays. Returns the best decomposition found over all sub-updates.
+    """
+    W = jnp.asarray(W, jnp.float32)
+    identity = False
+    if H is None:
+        H = jnp.eye(W.shape[1], dtype=jnp.float32)
+        identity = True
+    else:
+        H = jnp.asarray(H, jnp.float32)
+        if H.ndim == 1:
+            H = jnp.diag(H)
+        # Host-side identity detection (the jitted solver takes it as a
+        # static flag; cf. ``optimized_eigh``, ``alg.py:11-23``).
+        if H.shape[0] == H.shape[1]:
+            identity = bool(np.allclose(
+                np.asarray(H), np.eye(H.shape[0]), rtol=1e-5, atol=1e-8))
+
+    if scale_W:
+        global_scale = float(jnp.sqrt(jnp.mean(W * W)))
+    else:
+        global_scale = 1.0
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    Q, L, R, errors = caldera_solve(
+        quant_params, W, H, jnp.asarray(global_scale, jnp.float32), key,
+        identity_hessian=identity)
+
+    errors_np = np.asarray(errors)
+    err_dict = {mtx: [float(errors_np[i, j]) for i in range(quant_params.iters)]
+                for j, mtx in enumerate(quant_params.update_order)}
+    return CalderaDecomposition(
+        Q=Q, L=L, R=R, W=W / global_scale,
+        global_scale=global_scale, errors=err_dict)
+
+
+def caldera_batched(
+    quant_params: CalderaParams,
+    Ws: Array,
+    Hs: Array,
+    *,
+    scale_W: bool = True,
+    key: Optional[Array] = None,
+):
+    """Solve a stack of same-shape layers in one XLA computation via vmap.
+
+    ``Ws``: (num_layers, m, n); ``Hs``: (num_layers, n, n) or (num_layers, n)
+    diagonal. The reference processes layers serially (``main.py:147-199``);
+    batching keeps the MXU fed when compressing a whole transformer block.
+    Returns (Q, L, R, errors) stacked along the leading axis.
+    """
+    Ws = jnp.asarray(Ws, jnp.float32)
+    Hs = jnp.asarray(Hs, jnp.float32)
+    if Hs.ndim == 2:  # (layers, n) diagonals
+        Hs = jax.vmap(jnp.diag)(Hs)
+    if scale_W:
+        scales = jnp.sqrt(jnp.mean(Ws * Ws, axis=(1, 2)))
+    else:
+        scales = jnp.ones(Ws.shape[0], jnp.float32)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, Ws.shape[0])
+    solve = functools.partial(caldera_solve, identity_hessian=False)
+    Q, L, R, errors = jax.vmap(solve, in_axes=(None, 0, 0, 0, 0))(
+        quant_params, Ws, Hs, scales, keys)
+    return Q, L, R, errors, scales
