@@ -1,0 +1,196 @@
+"""Command-line interface: ``ccq compress | eval | serve | bench | calibrate``.
+
+The reference has no CLI — configuration is module-level constants in
+``main.py:6-11,36-43``. Here every pipeline stage is a subcommand over the
+same dataclass configs the library uses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p):
+    p.add_argument("--model", default="tiny", help="preset name or HF dir")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax/npz checkpoint of model params")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _load_model(args):
+    import jax
+    from ee274_convexcaldera_llm_quantization_tpu.models import llama
+    from ee274_convexcaldera_llm_quantization_tpu.models.config import PRESETS
+    if args.model in PRESETS:
+        config = PRESETS[args.model]
+        params = llama.init_params(jax.random.PRNGKey(args.seed), config)
+    else:
+        from ee274_convexcaldera_llm_quantization_tpu.models.hf_import import (
+            load_hf_checkpoint)
+        params, config = load_hf_checkpoint(args.model)
+    return params, config
+
+
+def cmd_compress(args):
+    from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+        CalderaParams)
+    from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+        compress_model)
+    from ee274_convexcaldera_llm_quantization_tpu.calibrate.hessian import (
+        load_hessians)
+
+    params, config = _load_model(args)
+    hessians = load_hessians(args.hessians) if args.hessians else None
+    cp = CalderaParams(Q_bits=args.q_bits, L_bits=args.l_bits,
+                       R_bits=args.r_bits, rank=args.rank, iters=args.iters,
+                       lplr_iters=args.lplr_iters)
+    layer_range = None
+    if args.layers:
+        lo, hi = args.layers.split("-")
+        layer_range = (int(lo), int(hi))
+    t0 = time.time()
+    qparams, report = compress_model(
+        params, cp, hessians=hessians, layer_range=layer_range,
+        error_threshold=args.error_threshold,
+        progress=lambda n, e: print(f"  {n}: rel_err={e:.4f}",
+                                    file=sys.stderr))
+    print(json.dumps({
+        "compressed": len(report.compressed),
+        "skipped": len(report.skipped),
+        "avg_bits_per_param": round(report.avg_bits_per_param, 4),
+        "max_rel_error": round(max(report.errors.values(), default=0.0), 4),
+        "seconds": round(time.time() - t0, 1),
+    }))
+    if args.output:
+        from ee274_convexcaldera_llm_quantization_tpu.utils.checkpoint import (
+            save_params)
+        save_params(args.output, qparams, config)
+        print(f"saved compressed model to {args.output}", file=sys.stderr)
+    return qparams, report
+
+
+def cmd_eval(args):
+    import numpy as np
+    from ee274_convexcaldera_llm_quantization_tpu.evalm.perplexity import (
+        evaluate_perplexity)
+
+    params, config = _load_model(args)
+    if args.tokens:
+        stream = np.load(args.tokens)
+    else:
+        stream = np.random.default_rng(0).integers(
+            0, config.vocab_size, size=args.synthetic_tokens)
+    ppl = evaluate_perplexity(params, stream, config, window=args.window,
+                              batch_size=args.batch_size)
+    print(json.dumps({"perplexity": round(ppl, 4),
+                      "window": args.window,
+                      "tokens": int(len(stream))}))
+
+
+def cmd_calibrate(args):
+    import numpy as np
+    from ee274_convexcaldera_llm_quantization_tpu.calibrate.hessian import (
+        collect_hessians, save_hessians)
+
+    params, config = _load_model(args)
+    rng = np.random.default_rng(args.seed)
+    batches = [rng.integers(0, config.vocab_size,
+                            size=(args.batch_size, args.window))
+               for _ in range(args.num_batches)]
+    hs = collect_hessians(params, batches, config, diag=not args.full)
+    save_hessians(args.output, hs)
+    print(json.dumps({"layers": len(hs), "output": args.output}))
+
+
+def cmd_serve(args):
+    import numpy as np
+    from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+        Request, ServingEngine)
+
+    params, config = _load_model(args)
+    eng = ServingEngine(params, config, max_slots=args.max_slots,
+                        max_seq_len=args.max_seq_len)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for uid in range(args.num_requests):
+        eng.submit(Request(
+            uid=uid,
+            prompt=rng.integers(0, config.vocab_size, size=args.prompt_len),
+            max_new_tokens=args.max_new_tokens))
+    done = eng.run()
+    dt = time.time() - t0
+    total = sum(len(c.tokens) for c in done)
+    print(json.dumps({"requests": len(done), "tokens": total,
+                      "tokens_per_s": round(total / dt, 2),
+                      "seconds": round(dt, 2)}))
+
+
+def cmd_bench(args):
+    import subprocess
+    cmd = [sys.executable, "bench.py", "--model", args.model]
+    if args.extra:
+        cmd.extend(args.extra.split())
+    raise SystemExit(subprocess.call(cmd))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="ccq",
+        description="TPU-native CALDERA / Convex-CALDERA framework")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compress", help="CALDERA-compress a model")
+    _add_model_args(p)
+    p.add_argument("--q-bits", type=int, default=2)
+    p.add_argument("--l-bits", type=int, default=16)
+    p.add_argument("--r-bits", type=int, default=16)
+    p.add_argument("--rank", type=int, default=128)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--lplr-iters", type=int, default=5)
+    p.add_argument("--hessians", default=None,
+                   help="npz or reference diag_Hessians.pt")
+    p.add_argument("--layers", default=None, help="inclusive range, e.g. 17-23")
+    p.add_argument("--error-threshold", type=float, default=0.99)
+    p.add_argument("--output", default=None)
+    p.set_defaults(func=cmd_compress)
+
+    p = sub.add_parser("eval", help="perplexity eval")
+    _add_model_args(p)
+    p.add_argument("--tokens", default=None, help="npy token stream")
+    p.add_argument("--synthetic-tokens", type=int, default=8192)
+    p.add_argument("--window", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.set_defaults(func=cmd_eval)
+
+    p = sub.add_parser("calibrate", help="collect Hessians")
+    _add_model_args(p)
+    p.add_argument("--num-batches", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--window", type=int, default=128)
+    p.add_argument("--full", action="store_true", help="full (not diag) H")
+    p.add_argument("--output", required=True)
+    p.set_defaults(func=cmd_calibrate)
+
+    p = sub.add_parser("serve", help="continuous-batching smoke serve")
+    _add_model_args(p)
+    p.add_argument("--max-slots", type=int, default=4)
+    p.add_argument("--max-seq-len", type=int, default=512)
+    p.add_argument("--num-requests", type=int, default=8)
+    p.add_argument("--prompt-len", type=int, default=32)
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.set_defaults(func=cmd_serve)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("--model", default="llama2-7b")
+    p.add_argument("--extra", default=None)
+    p.set_defaults(func=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

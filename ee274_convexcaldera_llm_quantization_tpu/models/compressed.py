@@ -1,0 +1,132 @@
+"""Compressed linear-layer parameter store and application.
+
+The reference materializes compressed layers back to dense fp32 before
+inference (``module.weight.data = Q + L @ R``, reference ``main.py:197-199``)
+— it demonstrates compression *quality* only. Here a linear layer's weights
+live in one of two jit-friendly pytree forms:
+
+- :class:`DenseLinear` — plain (out, in) matrix (bf16), used for layers the
+  quality gate reverted or that were never compressed;
+- :class:`CalderaLinear` — bit-packed ``Q`` codes (serving plane layout from
+  ``ops.kernels``) + per-(row, group) scales + low-rank ``L``/``R`` factors
+  + global scale, applied with the fused Pallas dequant-matmul.
+
+Both are registered dataclass pytrees, so a whole model's parameters remain
+one pytree that can be donated, sharded with ``NamedSharding``, and
+checkpointed with orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as K
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseLinear:
+    w: Array                      # (out, in)
+    b: Optional[Array] = None     # (out,)
+
+    @property
+    def shape(self):
+        return self.w.shape
+
+    def materialize(self) -> Array:
+        return self.w.astype(jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CalderaLinear:
+    """``W ~= global_scale * (Q + L @ R)`` with Q bit-packed."""
+
+    packed: Array                 # (out, in * bits / 8) uint8
+    scales: Array                 # (out, in / group) f32
+    L: Array                      # (out, rank) bf16
+    R: Array                      # (rank, in) bf16
+    global_scale: Array           # () f32
+    b: Optional[Array] = None     # (out,)
+    num_bits: int = dataclasses.field(default=4, metadata=dict(static=True))
+    group_size: int = dataclasses.field(default=256,
+                                        metadata=dict(static=True))
+    out_features: int = dataclasses.field(default=0,
+                                          metadata=dict(static=True))
+    in_features: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.out_features, self.in_features)
+
+    def materialize(self) -> Array:
+        """Dense reconstruction (for tests / error reporting only)."""
+        Q = K.dequant_serving_xla(self.packed, self.scales, self.num_bits,
+                                  self.group_size).astype(jnp.float32)
+        return self.global_scale * (Q + self.L.astype(jnp.float32)
+                                    @ self.R.astype(jnp.float32))
+
+
+Linear = Union[DenseLinear, CalderaLinear]
+
+
+def compress_linear(
+    W: Array,
+    L: Array,
+    R: Array,
+    num_bits: int,
+    global_scale: float = 1.0,
+    group_size: Optional[int] = None,
+    bias: Optional[Array] = None,
+) -> CalderaLinear:
+    """Pack a CALDERA decomposition ``(Q, L, R)`` into serving form.
+
+    ``W`` here is the *Q component* (already quantize-dequantized by the
+    solver); re-quantizing it at the same bit width in the serving layout is
+    exact for the uniform quantizer up to per-group rescaling.
+    """
+    N, Kin = W.shape
+    group_size = K.resolve_group(num_bits, Kin, group_size)
+    packed, scales = K.pack_for_serving(W, num_bits, group_size)
+    return CalderaLinear(
+        packed=packed,
+        scales=scales,
+        L=L.astype(jnp.bfloat16),
+        R=R.astype(jnp.bfloat16),
+        global_scale=jnp.asarray(global_scale, jnp.float32),
+        b=bias,
+        num_bits=num_bits,
+        group_size=group_size,
+        out_features=N,
+        in_features=Kin,
+    )
+
+
+def apply_linear(lin: Linear, x: Array, *, use_pallas: bool = False,
+                 interpret: bool = False) -> Array:
+    """``y = x @ W.T (+ b)`` for either representation.
+
+    ``x``: (..., in). The fused Pallas path is used when ``use_pallas`` (on
+    TPU); the XLA twin otherwise — both share the packed layout, so the
+    choice is purely a dispatch decision.
+    """
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if isinstance(lin, DenseLinear):
+        y = jnp.dot(x2.astype(jnp.bfloat16), lin.w.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    else:
+        y = K.fused_qlr_matmul(
+            x2, lin.packed, lin.scales, lin.L, lin.R, lin.num_bits,
+            group_size=lin.group_size, global_scale=lin.global_scale,
+            use_pallas=use_pallas, interpret=interpret)
+    if lin.b is not None:
+        y = y + lin.b[None, :]
+    return y.reshape(*shape[:-1], y.shape[-1])

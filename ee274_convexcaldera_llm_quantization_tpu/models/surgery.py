@@ -1,0 +1,147 @@
+"""Model surgery: per-layer CALDERA compression of a transformer.
+
+The TPU-native equivalent of the reference's
+``apply_CALDERA_quantization`` (``main.py:135-251``): walk the model's
+projection matrices, run the CALDERA solver with that layer's Hessian,
+apply the relative-error quality gate (skip the layer — keep it dense — if
+the decomposition error exceeds the threshold, ``main.py:11,212-218``), and
+store the result bit-packed in serving layout instead of materializing it
+dense (which is all the reference does, ``main.py:197-199``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+    CalderaParams, caldera)
+from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+    CalderaLinear, DenseLinear, Linear, compress_linear)
+from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+    LayerParams, ModelParams)
+
+# The projections the reference targets (``main.py:147-162``).
+PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+              "gate_proj", "up_proj", "down_proj")
+
+
+@dataclasses.dataclass
+class SurgeryReport:
+    """Per-layer compression outcomes."""
+
+    errors: Dict[str, float] = dataclasses.field(default_factory=dict)
+    skipped: List[str] = dataclasses.field(default_factory=list)
+    compressed: List[str] = dataclasses.field(default_factory=list)
+    total_bits: int = 0
+    total_params: int = 0
+
+    @property
+    def avg_bits_per_param(self) -> float:
+        return self.total_bits / max(self.total_params, 1)
+
+
+def compress_model(
+    params: ModelParams,
+    caldera_params: CalderaParams,
+    hessians: Optional[Dict[str, np.ndarray]] = None,
+    layer_range: Optional[Tuple[int, int]] = None,
+    proj_filter: Sequence[str] = PROJ_NAMES,
+    error_threshold: float = 0.99,
+    min_dim: int = 0,
+    serving_bits: Optional[int] = None,
+    progress: Optional[Callable[[str, float], None]] = None,
+) -> Tuple[ModelParams, SurgeryReport]:
+    """Compress the selected projections of a model.
+
+    ``hessians`` maps ``"layers.{i}.{proj}"`` to a diagonal (1-D) or full
+    (2-D) input-activation second moment — the schema of the reference's
+    ``diag_Hessians.pt`` (SURVEY.md section 2.9). Missing entries fall back
+    to the identity. ``layer_range`` is an inclusive (start, end) block
+    range like the reference's layers 17-23 default (``main.py:6-11``);
+    ``min_dim`` skips projections with any dimension smaller (reference
+    uses 500, ``main.py:154``). ``serving_bits`` overrides the bit width of
+    the packed serving representation (defaults to ``caldera_params.Q_bits``;
+    2-bit codes pack exactly into the 2-bit serving layout, etc.).
+    """
+    report = SurgeryReport()
+    sbits = serving_bits or caldera_params.Q_bits
+    new_layers = []
+    for i, lp in enumerate(params.layers):
+        in_range = layer_range is None or (
+            layer_range[0] <= i <= layer_range[1])
+        fields = {}
+        for proj in LayerParams._fields:
+            lin = getattr(lp, proj)
+            if (proj not in proj_filter or not in_range
+                    or not isinstance(lin, DenseLinear)):
+                fields[proj] = lin
+                continue
+            W = lin.w.astype(jnp.float32)
+            m, n = W.shape
+            name = f"layers.{i}.{proj}"
+            if min(m, n) <= min_dim:
+                fields[proj] = lin
+                continue
+            H = None
+            if hessians is not None and name in hessians:
+                H = jnp.asarray(np.asarray(hessians[name]), jnp.float32)
+            decomp = caldera(caldera_params, W, H=H, scale_W=False)
+            # Serving form re-quantizes the *unquantized* residual
+            # W/gs - L @ R with per-(row, group) scales — a strictly finer
+            # grid than the solver's single global absmax scale
+            # (``alg.py:247`` quirk), so the served weights are at least as
+            # accurate as the solver's own reconstruction.
+            if caldera_params.compute_quantized_component:
+                q_src = W / decomp.global_scale - decomp.L @ decomp.R
+            else:
+                q_src = decomp.Q
+            clin = compress_linear(q_src, decomp.L, decomp.R, sbits,
+                                   global_scale=decomp.global_scale,
+                                   bias=lin.b)
+            W_hat = clin.materialize()
+            err = float(jnp.linalg.norm(W_hat - W) / jnp.linalg.norm(W))
+            report.errors[name] = err
+            if progress is not None:
+                progress(name, err)
+            if err > error_threshold:
+                # Quality gate: keep the original dense weight
+                # (reference ``main.py:212-218``).
+                report.skipped.append(name)
+                fields[proj] = lin
+                report.total_bits += m * n * 16
+            else:
+                report.compressed.append(name)
+                fields[proj] = clin
+                rank = decomp.L.shape[1]
+                report.total_bits += m * n * sbits + rank * (m + n) * 16
+            report.total_params += m * n
+        new_layers.append(LayerParams(**fields))
+    new_params = ModelParams(embed=params.embed, layers=new_layers,
+                             final_norm=params.final_norm,
+                             lm_head=params.lm_head)
+    return new_params, report
+
+
+def hessian_key_map_from_reference(torch_state_keys: Sequence[str]
+                                   ) -> Dict[str, str]:
+    """Map reference ``diag_Hessians.pt`` keys to our ``layers.{i}.{proj}``.
+
+    Reference keys look like
+    ``language_model.model.layers.17.self_attn.q_proj`` or
+    ``...layers.17.mlp.down_proj`` (SURVEY.md section 2.9).
+    """
+    out = {}
+    for key in torch_state_keys:
+        parts = key.split(".")
+        if "layers" not in parts:
+            continue
+        li = parts[parts.index("layers") + 1]
+        proj = parts[-1]
+        if proj in PROJ_NAMES:
+            out[key] = f"layers.{li}.{proj}"
+    return out

@@ -1,0 +1,170 @@
+"""Serving engine: continuous batching over a slotted KV cache.
+
+The reference has no serving path at all — it rewrites dense weights and
+calls HF ``model.generate`` per example (``main.py:358``). This engine is
+the TPU-native serving story:
+
+- a fixed pool of ``max_slots`` batch slots backed by one static-shape KV
+  cache (shape never changes => the decode step jits exactly once);
+- host-side scheduler: admit queued requests into free slots (prefill one
+  sequence into its slot), then run batched decode steps over all active
+  slots with per-slot positions (``models.llama.decode_step_batched``);
+- greedy or temperature sampling; per-slot EOS / max-token termination;
+- requests arrive and retire continuously — a finishing sequence frees its
+  slot for the next queued prompt without stopping the batch.
+
+The slot allocator is deliberately separable: the C++ runtime
+(``runtime/``) provides the same interface for the paged-cache engine.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
+from ee274_convexcaldera_llm_quantization_tpu.models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray                  # (S,) int32
+    max_new_tokens: int = 64
+    temperature: float = 0.0            # 0 => greedy
+    eos_token: Optional[int] = None
+
+
+@dataclasses.dataclass
+class Completion:
+    uid: int
+    tokens: List[int]
+    prompt_len: int
+    finished_reason: str                # "eos" | "length"
+    latency_s: float = 0.0
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Request
+    pos: int                            # next write position in the cache
+    generated: List[int]
+    start_time: float
+
+
+class ServingEngine:
+    """Continuous-batching engine over a fixed slot pool."""
+
+    def __init__(self, params, config: ModelConfig, max_slots: int = 8,
+                 max_seq_len: Optional[int] = None, use_pallas: bool = False,
+                 interpret: bool = False, seed: int = 0):
+        self.params = params
+        self.config = config
+        self.max_slots = max_slots
+        self.max_seq_len = max_seq_len or config.max_seq_len
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self.cache = llama.KVCache.create(config, max_slots, self.max_seq_len)
+        self.queue: collections.deque[Request] = collections.deque()
+        self.slots: Dict[int, _Slot] = {}
+        self.free_slots = list(range(max_slots))[::-1]
+        self.completions: List[Completion] = []
+        self._key = jax.random.PRNGKey(seed)
+        self.steps = 0
+        self.tokens_generated = 0
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        if len(req.prompt) + req.max_new_tokens > self.max_seq_len:
+            raise ValueError(
+                f"request {req.uid}: prompt {len(req.prompt)} + "
+                f"{req.max_new_tokens} new tokens exceeds max_seq_len "
+                f"{self.max_seq_len}")
+        self.queue.append(req)
+
+    def run(self, max_steps: Optional[int] = None) -> List[Completion]:
+        """Run until every submitted request completes."""
+        steps = 0
+        while (self.queue or self.slots) and (max_steps is None
+                                              or steps < max_steps):
+            self.step()
+            steps += 1
+        done, self.completions = self.completions, []
+        return done
+
+    def step(self) -> None:
+        """One scheduler tick: admit + one batched decode step."""
+        self._admit()
+        if self.slots:
+            self._decode()
+        self.steps += 1
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self) -> None:
+        while self.queue and self.free_slots:
+            req = self.queue.popleft()
+            slot = self.free_slots.pop()
+            prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
+            logits, self.cache = llama.prefill_into_slot(
+                self.params, prompt, jnp.asarray(slot), self.cache,
+                self.config, self.use_pallas, self.interpret)
+            tok = int(self._sample(logits[None, :], req.temperature)[0])
+            st = _Slot(req=req, pos=len(req.prompt), generated=[tok],
+                       start_time=time.time())
+            self.slots[slot] = st
+            self.tokens_generated += 1
+            self._maybe_finish(slot)
+
+    def _decode(self) -> None:
+        """Batched decode over active slots (inactive slots run masked)."""
+        tokens = np.zeros(self.max_slots, np.int32)
+        pos = np.zeros(self.max_slots, np.int32)
+        for s, st in self.slots.items():
+            tokens[s] = st.generated[-1]
+            pos[s] = st.pos
+        logits, self.cache = llama.decode_step_batched(
+            self.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache,
+            self.config, self.use_pallas, self.interpret)
+        temps = np.zeros(self.max_slots, np.float32)
+        for s, st in self.slots.items():
+            temps[s] = st.req.temperature
+        sampled = np.asarray(self._sample(logits, temps))
+        for s in list(self.slots):
+            st = self.slots[s]
+            st.generated.append(int(sampled[s]))
+            st.pos += 1
+            self.tokens_generated += 1
+            self._maybe_finish(s)
+
+    def _sample(self, logits, temperature):
+        """Greedy when temperature <= 0, else temperature sampling."""
+        temps = jnp.atleast_1d(jnp.asarray(temperature, jnp.float32))
+        greedy = jnp.argmax(logits, axis=-1)
+        self._key, sub = jax.random.split(self._key)
+        scaled = logits / jnp.maximum(temps[:, None], 1e-6)
+        sampled = jax.random.categorical(sub, scaled, axis=-1)
+        return jnp.where(temps > 0, sampled, greedy)
+
+    def _maybe_finish(self, slot: int) -> None:
+        st = self.slots[slot]
+        req = st.req
+        reason = None
+        if req.eos_token is not None and st.generated[-1] == req.eos_token:
+            reason = "eos"
+        elif len(st.generated) >= req.max_new_tokens:
+            reason = "length"
+        if reason:
+            self.completions.append(Completion(
+                uid=req.uid, tokens=list(st.generated),
+                prompt_len=len(req.prompt), finished_reason=reason,
+                latency_s=time.time() - st.start_time))
+            del self.slots[slot]
+            self.free_slots.append(slot)
