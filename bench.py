@@ -45,7 +45,6 @@ def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
         resolve_group)
 
     h, im = config.hidden_size, config.intermediate_size
-    key = jax.random.PRNGKey(seed)
 
     def qlin(key, out_d, in_d):
         G = resolve_group(num_bits, in_d, None)
@@ -66,29 +65,36 @@ def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
             num_bits=num_bits, group_size=G, out_features=out_d,
             in_features=in_d)
 
-    layers = []
-    for i in range(config.num_layers):
-        ks = jax.random.split(jax.random.fold_in(key, i), 7)
-        layers.append(LayerParams(
-            attn_norm=jnp.ones((h,), jnp.float32),
-            q_proj=qlin(ks[0], config.q_dim, h),
-            k_proj=qlin(ks[1], config.kv_dim, h),
-            v_proj=qlin(ks[2], config.kv_dim, h),
-            o_proj=qlin(ks[3], h, config.q_dim),
-            mlp_norm=jnp.ones((h,), jnp.float32),
-            gate_proj=qlin(ks[4], im, h),
-            up_proj=qlin(ks[5], im, h),
-            down_proj=qlin(ks[6], h, im),
-        ))
-    embed = (jax.random.normal(jax.random.fold_in(key, 999),
-                               (config.vocab_size, h), jnp.float32)
-             * 0.02).astype(jnp.bfloat16)
-    lm_head = DenseLinear(w=(jax.random.normal(
-        jax.random.fold_in(key, 998), (config.vocab_size, h), jnp.float32)
-        * 0.02).astype(jnp.bfloat16))
-    return ModelParams(embed=embed, layers=layers,
-                       final_norm=jnp.ones((h,), jnp.float32),
-                       lm_head=lm_head)
+    # One jitted program builds the whole tree — eager construction would
+    # pay hundreds of tiny per-op compiles (expensive over a compile relay).
+    @jax.jit
+    def build():
+        key = jax.random.PRNGKey(seed)
+        layers = []
+        for i in range(config.num_layers):
+            ks = jax.random.split(jax.random.fold_in(key, i), 7)
+            layers.append(LayerParams(
+                attn_norm=jnp.ones((h,), jnp.float32),
+                q_proj=qlin(ks[0], config.q_dim, h),
+                k_proj=qlin(ks[1], config.kv_dim, h),
+                v_proj=qlin(ks[2], config.kv_dim, h),
+                o_proj=qlin(ks[3], h, config.q_dim),
+                mlp_norm=jnp.ones((h,), jnp.float32),
+                gate_proj=qlin(ks[4], im, h),
+                up_proj=qlin(ks[5], im, h),
+                down_proj=qlin(ks[6], h, im),
+            ))
+        embed = (jax.random.normal(jax.random.fold_in(key, 999),
+                                   (config.vocab_size, h), jnp.float32)
+                 * 0.02).astype(jnp.bfloat16)
+        lm_head = DenseLinear(w=(jax.random.normal(
+            jax.random.fold_in(key, 998), (config.vocab_size, h),
+            jnp.float32) * 0.02).astype(jnp.bfloat16))
+        return ModelParams(embed=embed, layers=layers,
+                           final_norm=jnp.ones((h,), jnp.float32),
+                           lm_head=lm_head)
+
+    return build()
 
 
 def weight_bytes_per_token(config, num_bits, rank):

@@ -108,9 +108,11 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, num_bits: int):
     """One (TM, TN) output tile, accumulating over the k (group) grid axis.
 
     ``x_ref``: (TM, G) bf16 activations; ``w_ref``: (TN, G/f) uint8 packed
-    codes; ``s_ref``: (TN, 1) f32 scales for this (row-tile, group).
-    The MXU sees a pure bf16 codes matmul; the per-group scale is applied to
-    the (TM, TN) f32 partial product — one VPU multiply per tile.
+    codes; ``s_ref``: (TN, num_groups) f32 scales for the whole row tile
+    (TPU lane tiling forbids a 1-wide lane block, so all groups ride along
+    and the current one is dynamically sliced). The MXU sees a pure bf16
+    codes matmul; the per-group scale is applied to the (TM, TN) f32
+    partial product — one VPU multiply per tile.
     """
     k = pl.program_id(2)
 
@@ -121,17 +123,25 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, num_bits: int):
     f = _pack_factor(num_bits)
     maxq = 2 ** (num_bits - 1) - 1
     mask = (1 << num_bits) - 1
-    packed = w_ref[:]
+    # Mosaic legalizes shifts/casts on i32 vectors but not on i8 — widen the
+    # packed bytes once, then shift-and-mask per plane. (TN, G) signed codes.
+    packed = w_ref[:].astype(jnp.int32)
     planes = [((packed >> (num_bits * (f - 1 - p))) & mask) for p in range(f)]
     u = jnp.concatenate(planes, axis=1) if f > 1 else planes[0]
-    wq = u.astype(jnp.bfloat16) - jnp.bfloat16(maxq)   # (TN, G) signed codes
+    wq = (u - maxq).astype(jnp.float32).astype(jnp.bfloat16)
 
     partial = jax.lax.dot_general(
         x_ref[:], wq,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                   # (TM, TN)
-    o_ref[:] += partial * s_ref[:, 0][None, :]
+    # Select column k of the scales without a dynamic lane slice (Mosaic
+    # requires 128-aligned lane offsets): masked reduction over the small
+    # group axis.
+    s_all = s_ref[:]                                    # (TN, num_groups)
+    col = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 1)
+    scale = jnp.sum(jnp.where(col == k, s_all, 0.0), axis=1)  # (TN,)
+    o_ref[:] += partial * scale[None, :]
 
 
 @functools.partial(
@@ -158,7 +168,10 @@ def quantized_matmul(
     G = resolve_group(num_bits, K, group_size)
     N = packed.shape[0]
     assert packed.shape[1] * f == K, (packed.shape, K, f)
-    assert K % G == 0 and N % block_n == 0
+    block_n = min(block_n, N)
+    if K % G or N % block_n:
+        raise ValueError(f"shapes not tileable: K={K} group={G} N={N} "
+                         f"block_n={block_n}")
 
     TM = min(block_m, _round_up(M, 16))
     Mp = _round_up(M, TM)
@@ -174,7 +187,7 @@ def quantized_matmul(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, G // f), lambda i, j, k: (j, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i, j, k: (j, k),
+            pl.BlockSpec((block_n, K // G), lambda i, j, k: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, block_n), lambda i, j, k: (i, j),
