@@ -44,55 +44,57 @@ def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
     from ee274_convexcaldera_llm_quantization_tpu.ops.kernels import (
         resolve_group)
 
+    from ee274_convexcaldera_llm_quantization_tpu.models.stacked import (
+        StackedModelParams)
+
     h, im = config.hidden_size, config.intermediate_size
+    L = config.num_layers
 
     def qlin(key, out_d, in_d):
+        """One CalderaLinear with all layers stacked on a leading axis."""
         G = resolve_group(num_bits, in_d, None)
         f = 8 // num_bits
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        packed = jax.random.randint(k1, (out_d, in_d // f), 0, 256,
-                                    jnp.int32).astype(jnp.uint8)
-        scales = jnp.full((out_d, in_d // G), 1.0 / (in_d ** 0.5) / 7,
+        k1, k2, k3 = jax.random.split(key, 3)
+        packed = jax.random.bits(k1, (L, out_d, in_d // f), jnp.uint8)
+        scales = jnp.full((L, out_d, in_d // G), 1.0 / (in_d ** 0.5) / 7,
                           jnp.float32)
         r = min(rank, min(out_d, in_d))
-        L = (jax.random.normal(k2, (out_d, r), jnp.float32)
-             * 0.02).astype(jnp.bfloat16)
-        R = (jax.random.normal(k3, (r, in_d), jnp.float32)
-             * 0.02).astype(jnp.bfloat16)
+        Lf = (jax.random.normal(k2, (L, out_d, r), jnp.float32)
+              * 0.02).astype(jnp.bfloat16)
+        Rf = (jax.random.normal(k3, (L, r, in_d), jnp.float32)
+              * 0.02).astype(jnp.bfloat16)
         return CalderaLinear(
-            packed=packed, scales=scales, L=L, R=R,
-            global_scale=jnp.asarray(1.0, jnp.float32), b=None,
+            packed=packed, scales=scales, L=Lf, R=Rf,
+            global_scale=jnp.ones((L,), jnp.float32), b=None,
             num_bits=num_bits, group_size=G, out_features=out_d,
             in_features=in_d)
 
-    # One jitted program builds the whole tree — eager construction would
-    # pay hundreds of tiny per-op compiles (expensive over a compile relay).
+    # One jitted program builds the whole stacked tree in ~20 device ops —
+    # eager per-layer construction would pay hundreds of tiny dispatches
+    # (expensive over a compile relay).
     @jax.jit
     def build():
         key = jax.random.PRNGKey(seed)
-        layers = []
-        for i in range(config.num_layers):
-            ks = jax.random.split(jax.random.fold_in(key, i), 7)
-            layers.append(LayerParams(
-                attn_norm=jnp.ones((h,), jnp.float32),
-                q_proj=qlin(ks[0], config.q_dim, h),
-                k_proj=qlin(ks[1], config.kv_dim, h),
-                v_proj=qlin(ks[2], config.kv_dim, h),
-                o_proj=qlin(ks[3], h, config.q_dim),
-                mlp_norm=jnp.ones((h,), jnp.float32),
-                gate_proj=qlin(ks[4], im, h),
-                up_proj=qlin(ks[5], im, h),
-                down_proj=qlin(ks[6], h, im),
-            ))
-        embed = (jax.random.normal(jax.random.fold_in(key, 999),
-                                   (config.vocab_size, h), jnp.float32)
-                 * 0.02).astype(jnp.bfloat16)
+        ks = jax.random.split(key, 9)
+        layers = LayerParams(
+            attn_norm=jnp.ones((L, h), jnp.float32),
+            q_proj=qlin(ks[0], config.q_dim, h),
+            k_proj=qlin(ks[1], config.kv_dim, h),
+            v_proj=qlin(ks[2], config.kv_dim, h),
+            o_proj=qlin(ks[3], h, config.q_dim),
+            mlp_norm=jnp.ones((L, h), jnp.float32),
+            gate_proj=qlin(ks[4], im, h),
+            up_proj=qlin(ks[5], im, h),
+            down_proj=qlin(ks[6], h, im),
+        )
+        embed = (jax.random.normal(ks[7], (config.vocab_size, h),
+                                   jnp.float32) * 0.02).astype(jnp.bfloat16)
         lm_head = DenseLinear(w=(jax.random.normal(
-            jax.random.fold_in(key, 998), (config.vocab_size, h),
+            ks[8], (config.vocab_size, h),
             jnp.float32) * 0.02).astype(jnp.bfloat16))
-        return ModelParams(embed=embed, layers=layers,
-                           final_norm=jnp.ones((h,), jnp.float32),
-                           lm_head=lm_head)
+        return StackedModelParams(embed=embed, layers=layers,
+                                  final_norm=jnp.ones((h,), jnp.float32),
+                                  lm_head=lm_head)
 
     return build()
 
@@ -128,41 +130,66 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from ee274_convexcaldera_llm_quantization_tpu.models import llama
+    from ee274_convexcaldera_llm_quantization_tpu.models import llama, stacked
     from ee274_convexcaldera_llm_quantization_tpu.models.config import PRESETS
 
     config = PRESETS[args.model]
     backend = jax.devices()[0].platform
     use_pallas = (backend == "tpu" or backend == "axon") and not args.no_pallas
 
+    t0 = time.time()
     params = build_compressed_llama_params(config, args.bits, args.rank)
+    jax.block_until_ready(params.embed)
+    print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
     cache = llama.KVCache.create(config, args.batch, args.context)
     tokens = jnp.zeros((args.batch,), jnp.int32)
     pos0 = args.context // 2                         # mid-context decode
+    B = args.batch
 
-    # warmup / compile
+    # Timing protocol: the whole autoregressive loop runs inside ONE jitted
+    # computation with a dynamic trip count, the output is a scalar that
+    # depends on every step's logits, and timing spans a host readback of
+    # that scalar. This defeats both async-dispatch illusions and
+    # deferred-execution runtimes (block_until_ready alone is not a reliable
+    # barrier on relayed backends). Per-step time is the SLOPE between two
+    # trip counts, which cancels fixed dispatch/readback overhead.
+    @jax.jit
+    def multi_step(params, n, cache):
+        def body(i, carry):
+            cache, tok, acc = carry
+            logits, cache = stacked.decode_step_batched(
+                params, tok, jnp.full((B,), pos0 + i, jnp.int32), cache,
+                config, use_pallas=use_pallas)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return cache, tok, acc + jnp.sum(logits) * jnp.float32(1e-9)
+        out = jax.lax.fori_loop(0, n, body, (cache, tokens, jnp.float32(0)))
+        return out[2]
+
     t0 = time.time()
-    logits, cache = llama.decode_step_batched(
-        params, tokens, jnp.full((args.batch,), pos0, jnp.int32), cache,
-        config, use_pallas=use_pallas)
-    logits.block_until_ready()
+    float(multi_step(params, 1, cache))
     compile_s = time.time() - t0
-    for i in range(args.warmup - 1):
-        logits, cache = llama.decode_step_batched(
-            params, tokens, jnp.full((args.batch,), pos0 + 1 + i, jnp.int32),
-            cache, config, use_pallas=use_pallas)
-    logits.block_until_ready()
+    print(f"# multi_step compiled in {compile_s:.1f}s", file=sys.stderr,
+          flush=True)
 
-    t0 = time.time()
-    for i in range(args.steps):
-        logits, cache = llama.decode_step_batched(
-            params, tokens,
-            jnp.full((args.batch,), pos0 + args.warmup + i, jnp.int32),
-            cache, config, use_pallas=use_pallas)
-    logits.block_until_ready()
-    dt = time.time() - t0
+    def timed(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            float(multi_step(params, n, cache))
+            best = min(best, time.time() - t0)
+        return best
 
-    tok_per_s = args.steps * args.batch / dt
+    n1 = max(args.warmup, 2)
+    n2 = n1 + args.steps
+    t1, t2 = timed(n1), timed(n2)
+    dt = (t2 - t1) / args.steps
+    if dt <= 0:
+        # per-step time below host-timing noise: widen the interval
+        n2 = n1 + 16 * args.steps
+        t2 = timed(n2)
+        dt = max((t2 - t1) / (16 * args.steps), 1e-9)
+    tok_per_s = args.batch / dt
 
     # Roofline: HBM bandwidth bound on weight reads per decode step.
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(backend, 50e9)  # v5e
@@ -179,8 +206,8 @@ def main():
         "vs_baseline": round(vs, 4),
     }))
     print(f"# backend={backend} use_pallas={use_pallas} "
-          f"compile={compile_s:.1f}s step={dt / args.steps * 1000:.2f}ms "
-          f"roofline={roofline_tok_per_s:.0f} tok/s "
+          f"compile={compile_s:.1f}s step={dt * 1000:.2f}ms "
+          f"(slope n={n1}->{n2}) roofline={roofline_tok_per_s:.0f} tok/s "
           f"weight_bytes/step={wb / 1e9:.2f}GB", file=sys.stderr)
 
 

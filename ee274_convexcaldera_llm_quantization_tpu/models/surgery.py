@@ -20,6 +20,7 @@ import numpy as np
 
 from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
     CalderaParams, caldera)
+from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as _K
 from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
     CalderaLinear, DenseLinear, Linear, compress_linear)
 from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
@@ -28,6 +29,45 @@ from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
 # The projections the reference targets (``main.py:147-162``).
 PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
               "gate_proj", "up_proj", "down_proj")
+
+
+def caldera_with_hadamard(
+    caldera_params: CalderaParams,
+    W: jnp.ndarray,
+    H: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, float]:
+    """CALDERA in a two-sided Hadamard-rotated basis (incoherence processing).
+
+    The reference's off-by-default Hadamard path (``main.py:75-133,221-240``):
+    pad ``W`` to powers of two, rotate ``W' = H1 W H2`` with orthonormal
+    Hadamard matrices, decompose in the rotated basis, rotate the
+    reconstruction back. Rotation spreads outliers across entries, which
+    helps aggressive (2-bit) quantization. The input-side Hessian is rotated
+    consistently: ``H' = H2^T H_pad H2`` (columns of ``W'`` see inputs
+    ``H2^T x``). Implemented with the O(n log n) FWHT, not dense Hadamard
+    matmuls. Returns ``(W_hat, relative_error)`` — like the reference, the
+    result is materialized dense (the rotated basis is not servable without
+    runtime activation rotation).
+    """
+    m, n = W.shape
+    Wr, m2, n2 = _K.hadamard_sandwich(W.astype(jnp.float32))
+    if H is not None:
+        H = jnp.asarray(H, jnp.float32)
+        if H.ndim == 1:
+            H = jnp.diag(H)
+        Hp = jnp.zeros((n2, n2), jnp.float32)
+        # pad with identity so padded (zero-weight) inputs stay conditioned
+        Hp = Hp.at[:n, :n].set(H)
+        Hp = Hp.at[jnp.arange(n, n2), jnp.arange(n, n2)].set(1.0)
+        # H2^T Hp H2 via two FWHTs (orthonormal Hadamard is symmetric)
+        Hr = _K.fwht(_K.fwht(Hp, axis=0), axis=1) / jnp.float32(n2)
+        Hr = (Hr + Hr.T) / 2
+    else:
+        Hr = None
+    decomp = caldera(caldera_params, Wr, H=Hr, scale_W=False)
+    W_hat = _K.hadamard_unsandwich(decomp.reconstruct(), m, n)
+    err = float(jnp.linalg.norm(W_hat - W) / jnp.linalg.norm(W))
+    return W_hat, err
 
 
 @dataclasses.dataclass

@@ -6,15 +6,17 @@ compressed layers back to dense fp32 before inference
 stays bit-packed in HBM and is unpacked inside the kernel, feeding the MXU
 with bf16 tiles without ever materializing a dense weight matrix.
 
-Serving layout ("plane-packed"):
+Serving layout ("global plane-packed"):
   weights ``W`` of shape ``(N, K)`` (out, in) are quantized with symmetric
   per-(row, group) absmax scales, group size ``G`` along K. Codes are stored
-  offset-binary and packed so that the byte at column ``c`` of a group holds
-  the codes for ``k = c, c + G/f, ..., c + (f-1) * G/f`` (``f = 8 / bits``
-  planes, MSB first). Unpacking a tile is then ``f`` shift-and-mask ops plus
-  a lane-dimension concatenate — no interleaving shuffles, which keeps the
-  unpack on the VPU at full width. With the defaults below a packed group is
-  always 128 bytes, exactly one vreg lane row.
+  offset-binary and packed so the byte at column ``j`` of a row holds the
+  codes for ``k = j, j + K/f, ..., j + (f-1) * K/f`` (``f = 8 / bits``
+  row-global planes, MSB first). Unpacking a full row tile is then ``f``
+  shift-and-mask ops plus one lane-dimension concatenate that restores exact
+  k-order — no interleave shuffles — so the kernel can fetch a whole
+  ``(block_n, K/f)`` tile with one large DMA (hundreds of KB, enough to
+  saturate HBM) instead of per-group 16 KB tiles. ``G`` is chosen to divide
+  ``K/f`` so per-group scales broadcast with a static lane repeat.
 
 Every kernel has an XLA twin (``*_xla``) used for equivalence tests and as
 an automatic fallback on non-TPU backends.
@@ -30,8 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default group sizes chosen so a packed group is 128 bytes (one lane row).
-DEFAULT_GROUP = {2: 512, 4: 256, 8: 128}
+# Candidate scale-group sizes, largest preferred (fewest scales).
+_GROUP_CANDIDATES = (512, 256, 128, 64, 32, 16, 8)
 
 
 def _pack_factor(num_bits: int) -> int:
@@ -39,13 +41,23 @@ def _pack_factor(num_bits: int) -> int:
 
 
 def resolve_group(num_bits: int, K: int, group_size: Optional[int]) -> int:
-    """Pick the scale-group size: the 128-byte default, clamped to K.
+    """Pick the scale-group size: the largest candidate dividing ``K / f``.
 
-    The clamp keeps small matrices (K < default group) working; K must still
-    be divisible by the result.
+    Dividing the plane length ``K/f`` (not just K) lets the kernel broadcast
+    scales over unpacked planes with static slices. An explicit
+    ``group_size`` is validated against the same constraint.
     """
+    f = _pack_factor(num_bits)
+    plane = K // f
     if group_size is None:
-        group_size = min(DEFAULT_GROUP[num_bits], K)
+        for g in _GROUP_CANDIDATES:
+            if g <= plane and plane % g == 0:
+                return g
+        return plane if plane > 0 else K
+    if plane % group_size != 0:
+        raise ValueError(
+            f"group size {group_size} must divide K/f = {plane} "
+            f"(K={K}, {num_bits}-bit)")
     return group_size
 
 
@@ -64,8 +76,6 @@ def pack_for_serving(W: jax.Array, num_bits: int,
     """
     N, K = W.shape
     group_size = resolve_group(num_bits, K, group_size)
-    if K % group_size != 0:
-        raise ValueError(f"K={K} not divisible by group size {group_size}")
     f = _pack_factor(num_bits)
     G = group_size
     maxq = 2 ** (num_bits - 1) - 1
@@ -74,12 +84,12 @@ def pack_for_serving(W: jax.Array, num_bits: int,
     absmax = jnp.maximum(jnp.max(jnp.abs(Wg), axis=-1, keepdims=True), 1e-8)
     scales = (absmax / maxq).reshape(N, K // G)
     codes = jnp.clip(jnp.round(Wg / absmax * maxq), -maxq, maxq)
-    u = (codes + maxq).astype(jnp.uint8)            # offset binary
-    planes = u.reshape(N, K // G, f, G // f)        # plane p = k offset p*G/f
-    packed = jnp.zeros((N, K // G, G // f), jnp.uint8)
+    u = (codes + maxq).astype(jnp.uint8).reshape(N, K)   # offset binary
+    planes = u.reshape(N, f, K // f)     # row-global planes (k-order major)
+    packed = jnp.zeros((N, K // f), jnp.uint8)
     for p in range(f):
-        packed = packed | (planes[:, :, p, :] << (num_bits * (f - 1 - p)))
-    return packed.reshape(N, K // f), scales
+        packed = packed | (planes[:, p, :] << (num_bits * (f - 1 - p)))
+    return packed, scales
 
 
 @functools.partial(jax.jit, static_argnames=("num_bits", "group_size"))
@@ -92,56 +102,83 @@ def dequant_serving_xla(packed: jax.Array, scales: jax.Array, num_bits: int,
     G = resolve_group(num_bits, K, group_size)
     maxq = 2 ** (num_bits - 1) - 1
     mask = (1 << num_bits) - 1
-    pg = packed.reshape(N, K // G, G // f)
-    planes = [((pg >> (num_bits * (f - 1 - p))) & mask) for p in range(f)]
-    u = jnp.stack(planes, axis=2)                    # (N, K/G, f, G/f)
+    planes = [((packed >> (num_bits * (f - 1 - p))) & mask) for p in range(f)]
+    u = jnp.concatenate(planes, axis=1) if f > 1 else planes[0]   # (N, K)
     q = u.astype(jnp.float32) - maxq
-    w = q * scales[:, :, None, None]
-    return w.reshape(N, K).astype(jnp.bfloat16)
+    w = q * jnp.repeat(scales, G, axis=1, total_repeat_length=K)
+    return w.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
 # Fused dequant-matmul Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, num_bits: int):
-    """One (TM, TN) output tile, accumulating over the k (group) grid axis.
+def _pick_chunk(plane_len: int, group: int, block_n: int,
+                budget_bytes: int = 2 * 1024 * 1024) -> int:
+    """Bytes of packed data to unpack per inner step: a divisor of the plane
+    length that is a multiple of the group size, sized so the f32
+    intermediates stay within ``budget_bytes``."""
+    target = max(budget_bytes // (block_n * 4), group)
+    best = plane_len
+    for m in range(1, plane_len // group + 1):
+        if plane_len % m:
+            continue
+        chb = plane_len // m
+        if chb % group:
+            continue
+        if chb <= target:
+            return chb
+        best = chb
+    return best
 
-    ``x_ref``: (TM, G) bf16 activations; ``w_ref``: (TN, G/f) uint8 packed
-    codes; ``s_ref``: (TN, num_groups) f32 scales for the whole row tile
-    (TPU lane tiling forbids a 1-wide lane block, so all groups ride along
-    and the current one is dynamically sliced). The MXU sees a pure bf16
-    codes matmul; the per-group scale is applied to the (TM, TN) f32
-    partial product — one VPU multiply per tile.
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, num_bits: int,
+                group_size: int, chunk_bytes: int):
+    """One (TM, TN) output tile over the FULL contraction dimension.
+
+    ``x_ref``: (TM, K) bf16 activations; ``w_ref``: (TN, K/f) uint8 packed
+    codes — fetched as ONE large DMA per tile (hundreds of KB; per-group
+    16 KB tiles cannot saturate HBM); ``s_ref``: (TN, K/G) f32 scales.
+
+    The tile is processed in static byte-chunks to bound VMEM: each chunk
+    of ``chunk_bytes`` packed columns yields ``f`` plane sub-tiles of codes
+    whose k-offsets are ``p * K/f + c * chunk_bytes`` (row-global plane
+    layout), each dequantized (shift/mask on i32, scale broadcast by lane
+    repeat) and contracted against the matching static x slice, with fp32
+    accumulation across chunks on the MXU.
     """
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
     f = _pack_factor(num_bits)
     maxq = 2 ** (num_bits - 1) - 1
     mask = (1 << num_bits) - 1
-    # Mosaic legalizes shifts/casts on i32 vectors but not on i8 — widen the
-    # packed bytes once, then shift-and-mask per plane. (TN, G) signed codes.
-    packed = w_ref[:].astype(jnp.int32)
-    planes = [((packed >> (num_bits * (f - 1 - p))) & mask) for p in range(f)]
-    u = jnp.concatenate(planes, axis=1) if f > 1 else planes[0]
-    wq = (u - maxq).astype(jnp.float32).astype(jnp.bfloat16)
-
-    partial = jax.lax.dot_general(
-        x_ref[:], wq,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # (TM, TN)
-    # Select column k of the scales without a dynamic lane slice (Mosaic
-    # requires 128-aligned lane offsets): masked reduction over the small
-    # group axis.
-    s_all = s_ref[:]                                    # (TN, num_groups)
-    col = jax.lax.broadcasted_iota(jnp.int32, s_all.shape, 1)
-    scale = jnp.sum(jnp.where(col == k, s_all, 0.0), axis=1)  # (TN,)
-    o_ref[:] += partial * scale[None, :]
+    plane_len = w_ref.shape[1]
+    TM = x_ref.shape[0]
+    TN = w_ref.shape[0]
+    acc = jnp.zeros((TM, TN), jnp.float32)
+    for c in range(plane_len // chunk_bytes):
+        # Mosaic legalizes shifts on i32 vectors, not i8 — widen per chunk.
+        chunk = w_ref[:, c * chunk_bytes:(c + 1) * chunk_bytes]
+        chunk = chunk.astype(jnp.int32)
+        for p in range(f):
+            codes = ((chunk >> (num_bits * (f - 1 - p))) & mask) - maxq
+            koff = p * plane_len + c * chunk_bytes
+            ng = chunk_bytes // group_size
+            sc = s_ref[:, koff // group_size:koff // group_size + ng]
+            # Broadcast each group scale across its G lanes. jnp.repeat
+            # lowers to an unsupported scatter in Mosaic; a matmul against
+            # a 0/1 expansion matrix built from iota is MXU-native.
+            row = jax.lax.broadcasted_iota(jnp.int32, (ng, chunk_bytes), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (ng, chunk_bytes), 1)
+            expand = (col // group_size == row).astype(jnp.float32)
+            scale = jax.lax.dot_general(
+                sc, expand, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (TN, chunk)
+            wq = (codes.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            acc += jax.lax.dot_general(
+                x_ref[:, koff:koff + chunk_bytes], wq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[:] = acc
 
 
 @functools.partial(
@@ -155,13 +192,14 @@ def quantized_matmul(
     num_bits: int,
     group_size: Optional[int] = None,
     block_m: int = 128,
-    block_n: int = 128,
+    block_n: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """``y = x @ dequant(packed, scales).T`` with in-kernel unpacking.
 
-    ``x``: (M, K); returns (M, N) f32. M is padded to ``block_m`` internally;
-    N must be divisible by ``block_n`` and K by the group size.
+    ``x``: (M, K); returns (M, N) f32. M is padded internally; N must be
+    divisible by ``block_n`` (clamped to N) and the group size must divide
+    ``K/f``.
     """
     f = _pack_factor(num_bits)
     M, K = x.shape
@@ -169,32 +207,34 @@ def quantized_matmul(
     N = packed.shape[0]
     assert packed.shape[1] * f == K, (packed.shape, K, f)
     block_n = min(block_n, N)
-    if K % G or N % block_n:
-        raise ValueError(f"shapes not tileable: K={K} group={G} N={N} "
-                         f"block_n={block_n}")
+    while N % block_n:
+        block_n //= 2
+    plane_len = K // f
+    chunk_bytes = _pick_chunk(plane_len, G, block_n)
 
     TM = min(block_m, _round_up(M, 16))
     Mp = _round_up(M, TM)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
 
-    grid = (Mp // TM, N // block_n, K // G)
+    grid = (Mp // TM, N // block_n)
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, num_bits=num_bits),
+        functools.partial(_qmm_kernel, num_bits=num_bits, group_size=G,
+                          chunk_bytes=chunk_bytes),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, G), lambda i, j, k: (i, k),
+            pl.BlockSpec((TM, K), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, G // f), lambda i, j, k: (j, k),
+            pl.BlockSpec((block_n, plane_len), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, K // G), lambda i, j, k: (j, 0),
+            pl.BlockSpec((block_n, K // G), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, block_n), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,

@@ -20,7 +20,7 @@ class TestServingLayout:
     def test_pack_dequant_error_bounded(self, bits):
         W = rand(128, 512)
         packed, scales = K.pack_for_serving(W, bits)
-        G = K.DEFAULT_GROUP[bits]
+        G = K.resolve_group(bits, 512, None)
         assert packed.shape == (128, 512 * bits // 8)
         assert scales.shape == (128, 512 // G)
         W_hat = K.dequant_serving_xla(packed, scales, bits).astype(jnp.float32)
@@ -39,6 +39,7 @@ class TestServingLayout:
         assert rel < 0.01
 
     def test_bad_group_size_raises(self):
+        # 64 does not divide K/f = 50 for K=100 at 4-bit
         with pytest.raises(ValueError):
             K.pack_for_serving(rand(8, 100), 4, group_size=64)
 
