@@ -28,7 +28,7 @@ import numpy as np
 
 
 def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
-                                  dtype_scales=None):
+                                  mode="w4a8"):
     """Construct CALDERA-compressed params directly in packed form.
 
     For throughput benchmarking the *values* don't matter, only shapes and
@@ -52,7 +52,7 @@ def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
 
     def qlin(key, out_d, in_d):
         """One CalderaLinear with all layers stacked on a leading axis."""
-        G = resolve_group(num_bits, in_d, None)
+        G = in_d if mode == "w4a8" else resolve_group(num_bits, in_d, None)
         f = 8 // num_bits
         k1, k2, k3 = jax.random.split(key, 3)
         packed = jax.random.bits(k1, (L, out_d, in_d // f), jnp.uint8)
@@ -67,7 +67,7 @@ def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
             packed=packed, scales=scales, L=Lf, R=Rf,
             global_scale=jnp.ones((L,), jnp.float32), b=None,
             num_bits=num_bits, group_size=G, out_features=out_d,
-            in_features=in_d)
+            in_features=in_d, mode=mode)
 
     # One jitted program builds the whole stacked tree in ~20 device ops —
     # eager per-layer construction would pay hundreds of tiny dispatches
@@ -126,6 +126,10 @@ def main():
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--warmup", type=int, default=8)
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--mode", default="w4a8",
+                        choices=["w4a8", "grouped"],
+                        help="serving kernel: int8-MXU (fast) or grouped "
+                             "bf16 (max fidelity)")
     args = parser.parse_args()
 
     import jax
@@ -138,7 +142,8 @@ def main():
     use_pallas = (backend == "tpu" or backend == "axon") and not args.no_pallas
 
     t0 = time.time()
-    params = build_compressed_llama_params(config, args.bits, args.rank)
+    params = build_compressed_llama_params(config, args.bits, args.rank,
+                                           mode=args.mode)
     jax.block_until_ready(params.embed)
     print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
@@ -154,13 +159,19 @@ def main():
     # deferred-execution runtimes (block_until_ready alone is not a reliable
     # barrier on relayed backends). Per-step time is the SLOPE between two
     # trip counts, which cancels fixed dispatch/readback overhead.
+    fast_path = args.mode == "w4a8" and use_pallas
+
     @jax.jit
     def multi_step(params, n, cache):
         def body(i, carry):
             cache, tok, acc = carry
-            logits, cache = stacked.decode_step_batched(
-                params, tok, jnp.full((B,), pos0 + i, jnp.int32), cache,
-                config, use_pallas=use_pallas)
+            pos = jnp.full((B,), pos0 + i, jnp.int32)
+            if fast_path:
+                logits, cache = stacked.decode_step_w4a8(
+                    params, tok, pos, cache, config)
+            else:
+                logits, cache = stacked.decode_step_batched(
+                    params, tok, pos, cache, config, use_pallas=use_pallas)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok, acc + jnp.sum(logits) * jnp.float32(1e-9)
         out = jax.lax.fori_loop(0, n, body, (cache, tokens, jnp.float32(0)))
@@ -200,7 +211,8 @@ def main():
 
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
-                  f"{args.bits}-bit+rank{args.rank} batch{args.batch}",
+                  f"{args.bits}-bit+rank{args.rank} {args.mode} "
+                  f"batch{args.batch}",
         "value": round(tok_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 4),

@@ -46,7 +46,16 @@ class DenseLinear:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CalderaLinear:
-    """``W ~= global_scale * (Q + L @ R)`` with Q bit-packed."""
+    """``W ~= global_scale * (Q + L @ R)`` with Q bit-packed.
+
+    ``mode`` selects the serving kernel:
+
+    - ``"grouped"`` — per-(row, group) scales, bf16 dequant-matmul kernel
+      (highest fidelity);
+    - ``"w4a8"`` — per-row weight scales + dynamic int8 activations on the
+      int8 MXU (near memory-bound: ~3x faster at decode; ``scales`` is
+      (out, 1)).
+    """
 
     packed: Array                 # (out, in * bits / 8) uint8
     scales: Array                 # (out, in / group) f32
@@ -61,6 +70,8 @@ class CalderaLinear:
                                           metadata=dict(static=True))
     in_features: int = dataclasses.field(default=0,
                                          metadata=dict(static=True))
+    mode: str = dataclasses.field(default="grouped",
+                                  metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -68,8 +79,19 @@ class CalderaLinear:
 
     def materialize(self) -> Array:
         """Dense reconstruction (for tests / error reporting only)."""
-        Q = K.dequant_serving_xla(self.packed, self.scales, self.num_bits,
-                                  self.group_size).astype(jnp.float32)
+        if self.mode == "w4a8":
+            f = 8 // self.num_bits
+            maxq = 2 ** (self.num_bits - 1) - 1
+            mask = (1 << self.num_bits) - 1
+            pk = self.packed
+            planes = [((pk >> (self.num_bits * (f - 1 - p))) & mask)
+                      for p in range(f)]
+            u = jnp.concatenate(planes, axis=1) if f > 1 else planes[0]
+            Q = (u.astype(jnp.float32) - maxq) * self.scales
+        else:
+            Q = K.dequant_serving_xla(self.packed, self.scales,
+                                      self.num_bits,
+                                      self.group_size).astype(jnp.float32)
         return self.global_scale * (Q + self.L.astype(jnp.float32)
                                     @ self.R.astype(jnp.float32))
 
@@ -85,6 +107,7 @@ def compress_linear(
     global_scale: float = 1.0,
     group_size: Optional[int] = None,
     bias: Optional[Array] = None,
+    mode: str = "grouped",
 ) -> CalderaLinear:
     """Pack a CALDERA decomposition ``(Q, L, R)`` into serving form.
 
@@ -93,8 +116,12 @@ def compress_linear(
     exact for the uniform quantizer up to per-group rescaling.
     """
     N, Kin = W.shape
-    group_size = K.resolve_group(num_bits, Kin, group_size)
-    packed, scales = K.pack_for_serving(W, num_bits, group_size)
+    if mode == "w4a8":
+        packed, scales = K.pack_rowscale(W, num_bits)
+        group_size = Kin
+    else:
+        group_size = K.resolve_group(num_bits, Kin, group_size)
+        packed, scales = K.pack_for_serving(W, num_bits, group_size)
     return CalderaLinear(
         packed=packed,
         scales=scales,
@@ -106,6 +133,7 @@ def compress_linear(
         group_size=group_size,
         out_features=N,
         in_features=Kin,
+        mode=mode,
     )
 
 
@@ -122,6 +150,18 @@ def apply_linear(lin: Linear, x: Array, *, use_pallas: bool = False,
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x2.astype(jnp.bfloat16), lin.w.T.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
+    elif lin.mode == "w4a8":
+        if use_pallas:
+            yq = K.quantized_matmul_w4a8(x2, lin.packed, lin.scales,
+                                         lin.num_bits, interpret=interpret)
+        else:
+            yq = K.quantized_matmul_w4a8_xla(x2, lin.packed, lin.scales,
+                                             lin.num_bits)
+        xr = jnp.dot(x2.astype(jnp.bfloat16), lin.R.T,
+                     preferred_element_type=jnp.float32)
+        ylr = jnp.dot(xr.astype(jnp.bfloat16), lin.L.T,
+                      preferred_element_type=jnp.float32)
+        y = (yq + ylr) * lin.global_scale
     else:
         y = K.fused_qlr_matmul(
             x2, lin.packed, lin.scales, lin.L, lin.R, lin.num_bits,

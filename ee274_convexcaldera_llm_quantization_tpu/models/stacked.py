@@ -152,6 +152,82 @@ def decode_step_batched(params: StackedModelParams, tokens: Array,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
+                     cache: KVCache, config: ModelConfig,
+                     interpret: bool = False) -> Tuple[Array, KVCache]:
+    """Fast decode: fori_loop over layers with scalar-prefetch weight access.
+
+    Requires every projection to be a stacked w4a8 :class:`CalderaLinear`.
+    Unlike the scan path, the stacked weights are never sliced (XLA
+    materializes a full per-layer copy of scanned operands before a Pallas
+    call — ~3x the HBM traffic); the kernel's index_map selects the layer
+    slab directly. The KV cache is donated and updated in place.
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    B = tokens.shape[0]
+    T = cache.k.shape[2]
+    lp = params.layers
+    x = params.embed[tokens].astype(jnp.float32)          # (B, h)
+    cos, sin = llama.rope_tables(config, pos[:, None])
+    valid = jnp.arange(T)[None, :] <= pos[:, None]
+    mask = jnp.where(valid, 0.0, -1e30)[:, None, None, None, :]
+    rows = jnp.arange(B)
+
+    def qmm(lin, l, y):
+        yq = Kr.quantized_matmul_w4a8_stacked(
+            y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
+        R_l = jax.lax.dynamic_index_in_dim(lin.R, l, 0, keepdims=False)
+        L_l = jax.lax.dynamic_index_in_dim(lin.L, l, 0, keepdims=False)
+        xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T,
+                     preferred_element_type=jnp.float32)
+        ylr = jnp.dot(xr.astype(jnp.bfloat16), L_l.T,
+                      preferred_element_type=jnp.float32)
+        gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0,
+                                          keepdims=False)
+        out = (yq + ylr) * gs
+        if lin.b is not None:
+            out = out + jax.lax.dynamic_index_in_dim(
+                lin.b, l, 0, keepdims=False)[None, :]
+        return out
+
+    def body(l, carry):
+        x, ck_all, cv_all = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], an, config.rms_norm_eps)[:, 0]
+        q = qmm(lp.q_proj, l, y).reshape(B, 1, config.num_heads,
+                                         config.head_dim)
+        k = qmm(lp.k_proj, l, y).reshape(B, 1, config.num_kv_heads,
+                                         config.head_dim)
+        v = qmm(lp.v_proj, l, y).reshape(B, 1, config.num_kv_heads,
+                                         config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        ck_all = ck_all.at[l, rows, pos].set(k[:, 0].astype(ck_all.dtype))
+        cv_all = cv_all.at[l, rows, pos].set(v[:, 0].astype(cv_all.dtype))
+        ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+        attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
+        x = x + qmm(lp.o_proj, l, attn)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
+        h = jax.nn.silu(qmm(lp.gate_proj, l, y)) * qmm(lp.up_proj, l, y)
+        x = x + qmm(lp.down_proj, l, h)
+        return x, ck_all, cv_all
+
+    x, ck, cv = jax.lax.fori_loop(0, config.num_layers, body,
+                                  (x, cache.k, cache.v))
+    logits = llama._logits(
+        x[:, None, :],
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits[:, 0, :], KVCache(ck, cv)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("config", "use_pallas", "interpret"))
 def prefill(params: StackedModelParams, tokens: Array, cache: KVCache,
             config: ModelConfig, use_pallas: bool = False,

@@ -259,6 +259,338 @@ def quantized_matmul_xla(x, packed, scales, num_bits, group_size=None):
 
 
 # ---------------------------------------------------------------------------
+# W4A8: int8-MXU fused kernel (per-row weight scales, int8 activations)
+#
+# The bf16 kernel above is VPU-bound: every weight code pays ~6 vector ops
+# (widen, shift, mask, f32 convert, scale multiply, bf16 convert). Feeding
+# the MXU int8 instead cuts that to ~3.5 (widen, shift, mask, i8 convert) —
+# scales move to the (TM, TN) accumulator, which per-ROW weight scales make
+# a single rank-1 rescale. Activations are dynamically quantized to int8
+# per row (standard W4A8 serving).
+# ---------------------------------------------------------------------------
+
+def pack_rowscale(W: jax.Array, num_bits: int):
+    """Quantize with one symmetric absmax scale per output row.
+
+    Returns (packed (N, K/f) uint8 in global-plane layout, row_scales
+    (N, 1) f32). Coarser than grouped scales but still strictly finer than
+    the reference's single whole-matrix scale (``alg.py:247``).
+    """
+    N, K = W.shape
+    f = _pack_factor(num_bits)
+    maxq = 2 ** (num_bits - 1) - 1
+    Wf = W.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(Wf), axis=1, keepdims=True), 1e-8)
+    scales = absmax / maxq
+    codes = jnp.clip(jnp.round(Wf / scales), -maxq, maxq)
+    u = (codes + maxq).astype(jnp.uint8)
+    planes = u.reshape(N, f, K // f)
+    packed = jnp.zeros((N, K // f), jnp.uint8)
+    for p in range(f):
+        packed = packed | (planes[:, p, :] << (num_bits * (f - 1 - p)))
+    return packed, scales
+
+
+def quantize_activations_int8(x: jax.Array):
+    """Per-row symmetric int8 quantization of activations (M, K)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-12)
+    sx = absmax / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _qmm_w4a8_kernel(xq_ref, w_ref, s_ref, sx_ref, o_ref, *, num_bits: int,
+                     chunk_bytes: int):
+    """int8 MXU path: signed codes matmul + rank-1 dequant.
+
+    ``y = sx_m * s_n * sum_k xq[k] * (u[k] - maxq)`` — codes are re-signed
+    during unpack (one extra subtract) and fed to the int8 MXU unscaled;
+    dequantization is a rank-1 rescale of the int32 accumulator.
+    """
+    f = _pack_factor(num_bits)
+    maxq = 2 ** (num_bits - 1) - 1
+    mask = (1 << num_bits) - 1
+    plane_len = w_ref.shape[1]
+    TM = xq_ref.shape[0]
+    TN = w_ref.shape[0]
+    xq = xq_ref[:]
+    acc = jnp.zeros((TM, TN), jnp.int32)
+    for c in range(plane_len // chunk_bytes):
+        chunk = w_ref[:, c * chunk_bytes:(c + 1) * chunk_bytes]
+        chunk = chunk.astype(jnp.int32)
+        for p in range(f):
+            # signed codes fit int8 for every bit width (offset-binary
+            # 8-bit codes 0..254 would overflow an unsigned-style cast)
+            u = (((chunk >> (num_bits * (f - 1 - p))) & mask)
+                 - maxq).astype(jnp.int8)
+            koff = p * plane_len + c * chunk_bytes
+            acc += jax.lax.dot_general(
+                xq[:, koff:koff + chunk_bytes], u,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    o_ref[:] = (acc.astype(jnp.float32)
+                * s_ref[:, 0][None, :] * sx_ref[:, 0][:, None])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bits", "block_m", "block_n", "interpret"))
+def quantized_matmul_w4a8(
+    x: jax.Array,
+    packed: jax.Array,
+    row_scales: jax.Array,
+    num_bits: int,
+    block_m: int = 128,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """``y ~= x @ dequant(packed, row_scales).T`` on the int8 MXU.
+
+    Activations are quantized per-row to int8 on the fly; weight codes are
+    unpacked straight to int8 (no f32 intermediates); dequantization is a
+    rank-1 rescale of the int32 accumulator.
+    """
+    f = _pack_factor(num_bits)
+    M, K = x.shape
+    N = packed.shape[0]
+    assert packed.shape[1] * f == K
+    block_n = min(block_n, N)
+    while N % block_n:
+        block_n //= 2
+    plane_len = K // f
+    chunk_bytes = _pick_chunk(plane_len, 1, block_n)
+
+    xq, sx = quantize_activations_int8(x)
+    TM = min(block_m, _round_up(M, 32))      # int8 sublane tile is 32
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
+
+    grid = (Mp // TM, N // block_n)
+    out = pl.pallas_call(
+        functools.partial(_qmm_w4a8_kernel, num_bits=num_bits,
+                          chunk_bytes=chunk_bytes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, plane_len), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K + N * K // f + Mp * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, packed, row_scales.astype(jnp.float32), sx)
+    return out[:M]
+
+
+def _qmm_w4a8_stacked_kernel(l_ref, xq_ref, w_ref, s_ref, sx_ref, o_ref, *,
+                             num_bits: int, chunk_bytes: int):
+    """Stacked variant: ``w_ref``/``s_ref`` blocks carry a leading layer axis
+    of size 1, selected by the scalar-prefetch layer index in the index_map
+    (the whole point: no materialized per-layer slice of the stacked
+    weights — the DMA engine fetches the right slab straight from HBM)."""
+    del l_ref
+    f = _pack_factor(num_bits)
+    maxq = 2 ** (num_bits - 1) - 1
+    mask = (1 << num_bits) - 1
+    plane_len = w_ref.shape[2]
+    TM = xq_ref.shape[0]
+    TN = w_ref.shape[1]
+    xq = xq_ref[:]
+    acc = jnp.zeros((TM, TN), jnp.int32)
+    for c in range(plane_len // chunk_bytes):
+        chunk = w_ref[0, :, c * chunk_bytes:(c + 1) * chunk_bytes]
+        chunk = chunk.astype(jnp.int32)
+        for p in range(f):
+            u = (((chunk >> (num_bits * (f - 1 - p))) & mask)
+                 - maxq).astype(jnp.int8)
+            koff = p * plane_len + c * chunk_bytes
+            acc += jax.lax.dot_general(
+                xq[:, koff:koff + chunk_bytes], u,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    o_ref[:] = (acc.astype(jnp.float32)
+                * s_ref[0, :, 0][None, :] * sx_ref[:, 0][:, None])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bits", "block_m", "block_n", "interpret"))
+def quantized_matmul_w4a8_stacked(
+    x: jax.Array,
+    packed: jax.Array,       # (layers, N, K/f) uint8
+    row_scales: jax.Array,   # (layers, N, 1) f32
+    layer: jax.Array,        # () or (1,) int32
+    num_bits: int,
+    block_m: int = 128,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """W4A8 matmul against layer ``layer`` of a stacked weight tensor.
+
+    Scalar-prefetch BlockSpec indexing pulls the selected layer's tiles
+    directly from the stacked HBM array — the layer-loop caller never
+    slices (and therefore never copies) the weights.
+    """
+    f = _pack_factor(num_bits)
+    M, K = x.shape
+    N = packed.shape[1]
+    assert packed.shape[2] * f == K
+    block_n = min(block_n, N)
+    while N % block_n:
+        block_n //= 2
+    plane_len = K // f
+    chunk_bytes = _pick_chunk(plane_len, 1, block_n)
+
+    xq, sx = quantize_activations_int8(x)
+    TM = min(block_m, _round_up(M, 32))
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // TM, N // block_n),
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i, j, L: (i, 0)),
+            pl.BlockSpec((1, block_n, plane_len),
+                         lambda i, j, L: (L[0], j, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda i, j, L: (L[0], j, 0)),
+            pl.BlockSpec((TM, 1), lambda i, j, L: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j, L: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_w4a8_stacked_kernel, num_bits=num_bits,
+                          chunk_bytes=chunk_bytes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, packed,
+      row_scales.astype(jnp.float32), sx)
+    return out[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("num_bits",))
+def quantized_matmul_w4a8_xla(x, packed, row_scales, num_bits):
+    """XLA twin of the W4A8 kernel (same activation quantization)."""
+    f = _pack_factor(num_bits)
+    K = packed.shape[1] * f
+    maxq = 2 ** (num_bits - 1) - 1
+    mask = (1 << num_bits) - 1
+    planes = [((packed >> (num_bits * (f - 1 - p))) & mask) for p in range(f)]
+    u = jnp.concatenate(planes, axis=1) if f > 1 else planes[0]
+    xq, sx = quantize_activations_int8(x)
+    acc = jax.lax.dot_general(
+        xq.astype(jnp.int32), u.astype(jnp.int32) - maxq,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * row_scales[:, 0][None, :] * sx
+
+
+# ---------------------------------------------------------------------------
+# W8A8 container: int8 weights served directly (zero unpack work)
+#
+# For latency-critical serving, 4-bit codes can be *stored* in an int8
+# container (or true 8-bit quantization used): the weight tile feeds the
+# MXU as-is — no VPU unpack at all — trading 2x HBM footprint/bandwidth
+# for the removal of the per-code vector work.
+# ---------------------------------------------------------------------------
+
+def _qmm_int8_kernel(xq_ref, w_ref, s_ref, sx_ref, o_ref):
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32)
+                * s_ref[:, 0][None, :] * sx_ref[:, 0][:, None])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def int8_matmul(
+    x: jax.Array,
+    w_int8: jax.Array,
+    row_scales: jax.Array,
+    block_m: int = 128,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``y = x @ (row_scales * w_int8).T`` with int8 weights fed straight to
+    the MXU (signed codes, no unpack)."""
+    M, K = x.shape
+    N = w_int8.shape[0]
+    block_n = min(block_n, N)
+    while N % block_n:
+        block_n //= 2
+    xq, sx = quantize_activations_int8(x)
+    TM = min(block_m, _round_up(M, 32))
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
+    grid = (Mp // TM, N // block_n)
+    out = pl.pallas_call(
+        _qmm_int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, K), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K + N * K + Mp * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, w_int8, row_scales.astype(jnp.float32), sx)
+    return out[:M]
+
+
+def quantize_int8_rowwise(W: jax.Array):
+    """(N, K) -> (int8 codes, (N, 1) f32 row scales)."""
+    Wf = W.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(Wf), axis=1, keepdims=True), 1e-8)
+    scales = absmax / 127.0
+    codes = jnp.clip(jnp.round(Wf / scales), -127, 127).astype(jnp.int8)
+    return codes, scales
+
+
+# ---------------------------------------------------------------------------
 # Fused Q + L@R linear (the CALDERA serving op)
 # ---------------------------------------------------------------------------
 

@@ -58,7 +58,8 @@ def _encode_linear(lin, prefix, arrays):
         put(f"{prefix}.b", lin.b)
     return {"kind": "caldera", "has_bias": lin.b is not None,
             "num_bits": lin.num_bits, "group_size": lin.group_size,
-            "out_features": lin.out_features, "in_features": lin.in_features}
+            "out_features": lin.out_features, "in_features": lin.in_features,
+            "mode": lin.mode}
 
 
 def _decode_linear(meta, prefix, z, dtypes):
@@ -78,7 +79,8 @@ def _decode_linear(meta, prefix, z, dtypes):
         R=get(f"{prefix}.R"),
         global_scale=get(f"{prefix}.global_scale"),
         b=b, num_bits=meta["num_bits"], group_size=meta["group_size"],
-        out_features=meta["out_features"], in_features=meta["in_features"])
+        out_features=meta["out_features"], in_features=meta["in_features"],
+        mode=meta.get("mode", "grouped"))
 
 
 def save_params(path: str, params: ModelParams, config: ModelConfig) -> None:
