@@ -55,6 +55,7 @@ def cmd_compress(args):
     qparams, report = compress_model(
         params, cp, hessians=hessians, layer_range=layer_range,
         error_threshold=args.error_threshold,
+        serving_mode=args.serving_mode,
         progress=lambda n, e: print(f"  {n}: rel_err={e:.4f}",
                                     file=sys.stderr))
     print(json.dumps({
@@ -154,6 +155,8 @@ def main(argv=None):
                    help="npz or reference diag_Hessians.pt")
     p.add_argument("--layers", default=None, help="inclusive range, e.g. 17-23")
     p.add_argument("--error-threshold", type=float, default=0.99)
+    p.add_argument("--serving-mode", default="grouped",
+                   choices=["grouped", "w4a8"])
     p.add_argument("--output", default=None)
     p.set_defaults(func=cmd_compress)
 

@@ -94,6 +94,7 @@ def compress_model(
     error_threshold: float = 0.99,
     min_dim: int = 0,
     serving_bits: Optional[int] = None,
+    serving_mode: str = "grouped",
     progress: Optional[Callable[[str, float], None]] = None,
 ) -> Tuple[ModelParams, SurgeryReport]:
     """Compress the selected projections of a model.
@@ -107,6 +108,9 @@ def compress_model(
     uses 500, ``main.py:154``). ``serving_bits`` overrides the bit width of
     the packed serving representation (defaults to ``caldera_params.Q_bits``;
     2-bit codes pack exactly into the 2-bit serving layout, etc.).
+    ``serving_mode``: "grouped" (per-group scales, bf16 kernel, max
+    fidelity) or "w4a8" (per-row scales + int8 activations, ~3x faster
+    decode).
     """
     report = SurgeryReport()
     sbits = serving_bits or caldera_params.Q_bits
@@ -142,7 +146,7 @@ def compress_model(
                 q_src = decomp.Q
             clin = compress_linear(q_src, decomp.L, decomp.R, sbits,
                                    global_scale=decomp.global_scale,
-                                   bias=lin.b)
+                                   bias=lin.b, mode=serving_mode)
             W_hat = clin.materialize()
             err = float(jnp.linalg.norm(W_hat - W) / jnp.linalg.norm(W))
             report.errors[name] = err
