@@ -81,6 +81,31 @@ class CalderaDecomposition:
         """Dense ``W_hat = global_scale * (Q + L @ R)``."""
         return self.global_scale * (self.Q + self.L @ self.R)
 
+    def quantized_codes(self, params: "CalderaParams"):
+        """Integer codes + scales for each component (reference parity with
+        ``CalderaDecomposition.Q_idxs/Q_scale/...``, ``dataclasses.py:87-106``).
+
+        The jitted solver tracks dequantized values only (best-iterate by
+        value); codes are recovered exactly by re-quantizing each component
+        with its own quantizer — a lossless round trip because each
+        component already lies on its quantizer's grid. Returns a dict
+        ``{"Q": (codes, scales), "L": ..., "R": ...}`` with None entries for
+        16-bit (unquantized) factors.
+        """
+        out = {}
+        q = params.quant_factory_Q.get_quantizer(params.Q_bits)
+        qt = q.quantize(self.Q)
+        out["Q"] = (qt.codes, qt.scale)
+        for name, mat, bits in (("L", self.L.T, params.L_bits),
+                                ("R", self.R, params.R_bits)):
+            if bits >= 16:
+                out[name] = None
+            else:
+                ql = params.quant_factory_LR.get_quantizer(bits)
+                qt = ql.quantize(mat)
+                out[name] = (qt.codes, qt.scale)
+        return out
+
 
 def _quantize_qd(A: Array, bits: int, factory: QuantizerFactory) -> Array:
     """Quantize+dequantize with the factory's method/block size (static shapes)."""

@@ -95,13 +95,30 @@ def uniform_dequantize_blocks(codes: jax.Array, absmax: jax.Array, num_bits: int
 # ---------------------------------------------------------------------------
 
 def nf_levels(method: str) -> jax.Array:
-    if method == "nf4":
+    if method in ("nf4", "nf4_meanstd"):
         return NF4_LEVELS_LEGACY
     if method == "nf4_true":
         return NF4_LEVELS_TRUE
     if method == "nf2":
         return NF2_LEVELS
     raise ValueError(f"unknown NF method {method!r}")
+
+
+def nf_meanstd_quantize_blocks(blocks: jax.Array, levels: jax.Array):
+    """Mean/std-standardized NF quantization (the reference's historical
+    ``quantization_stable_nf4.py:187-224`` variant: per-block standardize by
+    (mean, std) instead of absmax scaling). Returns (idx, mean, std)."""
+    mean = jnp.mean(blocks, axis=1, keepdims=True)
+    std = jnp.maximum(jnp.std(blocks, axis=1, keepdims=True), _EPS)
+    scaled = (blocks - mean) / std
+    thresholds = (levels[:-1] + levels[1:]) / 2.0
+    idx = jnp.sum(scaled[..., None] > thresholds, axis=-1).astype(jnp.uint8)
+    return idx, mean, std
+
+
+def nf_meanstd_dequantize_blocks(idx: jax.Array, mean: jax.Array,
+                                 std: jax.Array, levels: jax.Array):
+    return levels[idx.astype(jnp.int32)] * std + mean
 
 
 def nf_quantize_blocks(blocks: jax.Array, levels: jax.Array):
@@ -200,6 +217,10 @@ def quantize_dequantize(W: jax.Array, num_bits: int, method: str,
         levels = nf_levels(method)
         idx, scale = nf_quantize_blocks(blocks, levels)
         out = nf_dequantize_blocks(idx, scale, levels)
+    elif method == "nf4_meanstd":
+        levels = nf_levels(method)
+        idx, mean, std = nf_meanstd_quantize_blocks(blocks, levels)
+        out = nf_meanstd_dequantize_blocks(idx, mean, std, levels)
     elif method in ("bbint4", "bbint2"):
         q = affine_outlier_quantize_blocks(blocks, num_bits)
         out = affine_outlier_dequantize_blocks(q)

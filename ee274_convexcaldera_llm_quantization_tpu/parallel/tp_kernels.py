@@ -52,19 +52,40 @@ def column_parallel_w4a8(
     )
 
 
+def pack_rowscale_sharded(W: jax.Array, num_bits: int, shards: int):
+    """Row-parallel packing: quantize/pack each k-shard independently.
+
+    The global-plane byte layout spans a whole row, so a plain slice of the
+    packed axis scrambles k-order — shards must be packed locally. Each
+    shard gets its own per-row scale (at least as accurate as one global
+    row scale). Returns ``(packed (N, K/f), shard_scales (N, shards))``
+    where byte-range ``s`` holds shard ``s``'s local plane packing.
+    """
+    N, Kdim = W.shape
+    if Kdim % shards:
+        raise ValueError(f"K={Kdim} not divisible by {shards} shards")
+    ks = Kdim // shards
+    packs, scales = [], []
+    for s in range(shards):
+        p, sc = K.pack_rowscale(W[:, s * ks:(s + 1) * ks], num_bits)
+        packs.append(p)
+        scales.append(sc)
+    return jnp.concatenate(packs, axis=1), jnp.concatenate(scales, axis=1)
+
+
 def row_parallel_w4a8(
     mesh: Mesh,
     num_bits: int,
     axis: str = "tp",
     interpret: bool = False,
 ):
-    """Returns ``f(x, packed, row_scales) -> y`` with K sharded over ``axis``.
+    """Returns ``f(x, packed, shard_scales) -> y`` with K sharded over ``axis``.
 
-    ``x`` (B, K) sharded on K; ``packed`` (N, K/f) sharded on K; each shard
-    computes a partial (B, N) product and a psum over ``axis`` completes
-    the contraction. Note: per-shard activation quantization uses the local
-    absmax — slightly different rounding than single-device, bounded by the
-    int8 step.
+    Weights must come from :func:`pack_rowscale_sharded` with the mesh's tp
+    size. ``x`` (B, K) sharded on K; each shard computes a partial (B, N)
+    product with its local scales and a ``psum`` over ``axis`` completes
+    the contraction. Per-shard activation quantization uses the local
+    absmax — rounding differs from single-device at the int8 step level.
     """
     def local(x, packed, scales):
         partial = K.quantized_matmul_w4a8(x, packed, scales, num_bits,
@@ -73,7 +94,7 @@ def row_parallel_w4a8(
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, None)),
+        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
         out_specs=P(None, None),
         check_rep=False,
     )

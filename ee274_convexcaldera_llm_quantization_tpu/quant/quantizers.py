@@ -31,7 +31,8 @@ import numpy as np
 from ee274_convexcaldera_llm_quantization_tpu.ops import blockquant as bq
 from ee274_convexcaldera_llm_quantization_tpu.ops import packing
 
-_METHODS = ("uniform", "nf4", "nf4_true", "nf2", "bbint4", "bbint2")
+_METHODS = ("uniform", "nf4", "nf4_true", "nf4_meanstd", "nf2",
+            "bbint4", "bbint2")
 _BITWIDTHS = (2, 3, 4, 8, 16)
 
 
@@ -97,7 +98,7 @@ class BlockQuantizer:
         method = method.lower()
         if method not in _METHODS:
             raise NotImplementedError(f"quantization method {method!r} not supported")
-        if method in ("nf4", "nf4_true") and num_bits != 4:
+        if method in ("nf4", "nf4_true", "nf4_meanstd") and num_bits != 4:
             raise ValueError(f"{method} supports only 4 bits")
         if method == "nf2" and num_bits != 2:
             raise ValueError("nf2 supports only 2 bits")
@@ -128,6 +129,12 @@ class BlockQuantizer:
             idx, scale = bq.nf_quantize_blocks(blocks, levels)
             return QuantizedTensor(codes=idx, scale=scale, shape=tuple(shape),
                                    num_bits=self.num_bits, method=self.method)
+        if self.method == "nf4_meanstd":
+            levels = bq.nf_levels(self.method)
+            idx, mean, std = bq.nf_meanstd_quantize_blocks(blocks, levels)
+            return QuantizedTensor(codes=idx, scale=std, zero=mean,
+                                   shape=tuple(shape),
+                                   num_bits=self.num_bits, method=self.method)
         q = bq.affine_outlier_quantize_blocks(blocks, self.num_bits)
         return QuantizedTensor(codes=q.codes, scale=q.scales, zero=q.block_min,
                                outlier_mask=q.outlier_mask,
@@ -141,6 +148,9 @@ class BlockQuantizer:
         elif qt.method in ("nf4", "nf4_true", "nf2"):
             out = bq.nf_dequantize_blocks(qt.codes, qt.scale,
                                           bq.nf_levels(qt.method))
+        elif qt.method == "nf4_meanstd":
+            out = bq.nf_meanstd_dequantize_blocks(
+                qt.codes, qt.zero, qt.scale, bq.nf_levels(qt.method))
         else:
             out = bq.affine_outlier_dequantize_blocks(bq.AffineOutlierQuant(
                 codes=qt.codes, block_min=qt.zero, scales=qt.scale,

@@ -186,3 +186,31 @@ class TestLowrankHelpers:
         best = (U[:, :8] * S[:8]) @ Vh[:8]
         np.testing.assert_allclose(np.asarray(L @ R), best, rtol=1e-3,
                                    atol=1e-4)
+
+
+class TestQuantizedCodes:
+    def test_codes_round_trip_losslessly(self):
+        # re-quantizing a component already on its grid is exact
+        rng = np.random.default_rng(15)
+        W = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+        params = smoke_params(Q_bits=2, L_bits=4, R_bits=4, rank=8, iters=2,
+                              lplr_iters=2)
+        decomp = caldera(params, W, scale_W=False)
+        codes = decomp.quantized_codes(params)
+        q = params.quant_factory_Q.get_quantizer(params.Q_bits)
+        from ee274_convexcaldera_llm_quantization_tpu.quant.quantizers import (
+            QuantizedTensor)
+        qt = QuantizedTensor(codes=codes["Q"][0], scale=codes["Q"][1],
+                             shape=decomp.Q.shape, num_bits=params.Q_bits,
+                             method="uniform")
+        np.testing.assert_allclose(np.asarray(q.dequantize(qt)),
+                                   np.asarray(decomp.Q), rtol=1e-5,
+                                   atol=1e-6)
+        assert codes["L"] is not None and codes["R"] is not None
+
+    def test_16bit_factors_have_no_codes(self):
+        rng = np.random.default_rng(16)
+        W = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
+        decomp = caldera(smoke_params(rank=4, iters=1), W, scale_W=False)
+        codes = decomp.quantized_codes(smoke_params(rank=4, iters=1))
+        assert codes["L"] is None and codes["R"] is None

@@ -175,3 +175,33 @@ class TestFactory:
         qt = q.quantize(W)
         # 64*64 params * 4 bits + 64 blocks * 16-bit scales
         assert qt.storage_bits() == 64 * 64 * 4 + 64 * 16
+
+
+class TestNFMeanStd:
+    def test_round_trip_standardized(self):
+        # historical variant: per-block (mean, std) standardization
+        W = rand_matrix()
+        q = BlockQuantizer(4, "nf4_meanstd", 64)
+        qt = q.quantize(W)
+        assert qt.zero is not None           # per-block means
+        W_hat = np.asarray(q.dequantize(qt)).reshape(-1, 64)
+        # every reconstructed value is mean + level * std for some level
+        mean = np.asarray(qt.zero)
+        std = np.asarray(qt.scale)
+        normalized = (W_hat - mean) / std
+        levels = np.asarray(bq.NF4_LEVELS_LEGACY)
+        dists = np.abs(normalized[..., None] - levels[None, None, :])
+        assert np.all(dists.min(axis=-1) < 1e-5)
+
+    def test_offset_blocks_handled(self):
+        # blocks with large mean offsets: absmax scaling wastes range,
+        # standardization does not
+        rng = np.random.default_rng(3)
+        W = jnp.asarray((rng.normal(size=(8, 64)) + 50.0).astype(np.float32))
+        q_std = BlockQuantizer(4, "nf4_meanstd", 64)
+        q_abs = BlockQuantizer(4, "nf4", 64)
+        e_std = float(jnp.linalg.norm(
+            q_std.dequantize(q_std.quantize(W)) - W))
+        e_abs = float(jnp.linalg.norm(
+            q_abs.dequantize(q_abs.quantize(W)) - W))
+        assert e_std < e_abs
