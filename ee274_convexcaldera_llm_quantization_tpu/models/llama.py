@@ -310,10 +310,18 @@ def decode_step_batched(params: ModelParams, tokens: Array, pos: Array,
 def prefill_into_slot(params: ModelParams, tokens: Array, slot: Array,
                       cache: KVCache, config: ModelConfig,
                       use_pallas: bool = False,
-                      interpret: bool = False) -> Tuple[Array, KVCache]:
+                      interpret: bool = False,
+                      last_pos: Optional[Array] = None
+                      ) -> Tuple[Array, KVCache]:
     """Prefill one prompt (1, S) into batch slot ``slot`` of a shared cache.
 
-    Returns (last-position logits (vocab,), updated cache).
+    ``last_pos`` selects which position's logits to return (default S-1) —
+    used when the prompt is right-padded to a length bucket: pad positions
+    beyond ``last_pos`` are causally invisible to all future decode steps
+    (each decode step at position p attends only to positions <= p, and the
+    first real decode overwrites pad slot K/V before exposing it).
+
+    Returns (logits at ``last_pos`` (vocab,), updated cache).
     """
     S = tokens.shape[1]
     x = params.embed[tokens].astype(jnp.float32)
@@ -346,7 +354,11 @@ def prefill_into_slot(params: ModelParams, tokens: Array, slot: Array,
             (slot, 0, 0, 0))
         ks.append(ck)
         vs.append(cv)
-    logits = _logits(x[:, -1:, :], params, config, use_pallas, interpret)
+    if last_pos is None:
+        x_last = x[:, -1:, :]
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, last_pos, 1, axis=1)
+    logits = _logits(x_last, params, config, use_pallas, interpret)
     return logits[0, 0, :], KVCache(jnp.stack(ks), jnp.stack(vs))
 
 

@@ -179,6 +179,10 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
     def qmm(lin, l, y):
         yq = Kr.quantized_matmul_w4a8_stacked(
             y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
+        # Factor matmuls stay XLA dots on dynamic slices: replacing them
+        # with scalar-prefetch Pallas kernels was measured SLOWER (11.3 vs
+        # 10.3 ms/step on 7B) — 2 extra kernel launches per projection cost
+        # more than the ~1 MB slice copies they avoid.
         R_l = jax.lax.dynamic_index_in_dim(lin.R, l, 0, keepdims=False)
         L_l = jax.lax.dynamic_index_in_dim(lin.L, l, 0, keepdims=False)
         xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T,

@@ -171,6 +171,108 @@ def compress_model(
     return new_params, report
 
 
+def compress_model_with_budget(
+    params: ModelParams,
+    caldera_params: CalderaParams,
+    B_tot: float,
+    hessians: Optional[Dict[str, np.ndarray]] = None,
+    menu: Sequence[int] = (2, 4, 8),
+    layer_range: Optional[Tuple[int, int]] = None,
+    proj_filter: Sequence[str] = PROJ_NAMES,
+    error_threshold: float = 0.99,
+    serving_mode: str = "grouped",
+    progress: Optional[Callable[[str, float], None]] = None,
+):
+    """Mixed-precision surgery under a global bit budget.
+
+    The reference documents this objective (per-group bit-widths ``b_g``
+    under ``sum_g p_g b_g <= B_tot``, reference ``README.md:87-93``) but
+    never implements it (``CONVEX_CALDERA_IMPLEMENTATION.md:163-177``).
+    Here each projection is an allocation group: its rate-distortion
+    constant comes from the weight variance (``c = 0.1 Var``, mirroring
+    ``convex_caldera.py:123``) and its distortion weight from the mean
+    diagonal Hessian (input-activation sensitivity). The optimal discrete
+    menu allocation (``allocate.multigroup``) assigns per-projection
+    ``Q_bits``, then CALDERA runs per layer at its allocated width.
+
+    Note the budget covers the quantized component only; the rank-r factors
+    add ``rank * (m + n) * 16 / (m * n)`` bits/param on top (reported in
+    the SurgeryReport). Returns (new_params, report, allocation).
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.allocate.multigroup import (
+        GroupSpec, allocate_bits_discrete)
+
+    specs = []
+    for i, lp in enumerate(params.layers):
+        in_range = layer_range is None or (
+            layer_range[0] <= i <= layer_range[1])
+        if not in_range:
+            continue
+        for proj in proj_filter:
+            lin = getattr(lp, proj)
+            if not isinstance(lin, DenseLinear):
+                continue
+            name = f"layers.{i}.{proj}"
+            W = np.asarray(lin.w, np.float32)
+            weight = 1.0
+            if hessians is not None and name in hessians:
+                h = np.asarray(hessians[name])
+                weight = float(np.mean(h)) if h.ndim == 1 else float(
+                    np.mean(np.diag(h)))
+            specs.append(GroupSpec(name=name, num_params=W.size,
+                                   c=0.1 * float(np.var(W)), k=1.0,
+                                   weight=max(weight, 1e-12)))
+    allocation = allocate_bits_discrete(specs, B_tot, menu=menu)
+
+    # run per-layer surgery at the allocated bit widths
+    report = SurgeryReport()
+    new_layers = []
+    for i, lp in enumerate(params.layers):
+        fields = {}
+        for proj in LayerParams._fields:
+            lin = getattr(lp, proj)
+            name = f"layers.{i}.{proj}"
+            if name not in allocation.bits or not isinstance(lin,
+                                                             DenseLinear):
+                fields[proj] = lin
+                continue
+            bits = int(allocation.bits[name])
+            cp = dataclasses.replace(caldera_params, Q_bits=bits)
+            W = lin.w.astype(jnp.float32)
+            m, n = W.shape
+            H = None
+            if hessians is not None and name in hessians:
+                H = jnp.asarray(np.asarray(hessians[name]), jnp.float32)
+            decomp = caldera(cp, W, H=H, scale_W=False)
+            if cp.compute_quantized_component:
+                q_src = W / decomp.global_scale - decomp.L @ decomp.R
+            else:
+                q_src = decomp.Q
+            clin = compress_linear(q_src, decomp.L, decomp.R, bits,
+                                   global_scale=decomp.global_scale,
+                                   bias=lin.b, mode=serving_mode)
+            W_hat = clin.materialize()
+            err = float(jnp.linalg.norm(W_hat - W) / jnp.linalg.norm(W))
+            report.errors[name] = err
+            if progress is not None:
+                progress(name, err)
+            if err > error_threshold:
+                report.skipped.append(name)
+                fields[proj] = lin
+                report.total_bits += m * n * 16
+            else:
+                report.compressed.append(name)
+                fields[proj] = clin
+                rank = decomp.L.shape[1]
+                report.total_bits += m * n * bits + rank * (m + n) * 16
+            report.total_params += m * n
+        new_layers.append(LayerParams(**fields))
+    new_params = ModelParams(embed=params.embed, layers=new_layers,
+                             final_norm=params.final_norm,
+                             lm_head=params.lm_head)
+    return new_params, report, allocation
+
+
 def hessian_key_map_from_reference(torch_state_keys: Sequence[str]
                                    ) -> Dict[str, str]:
     """Map reference ``diag_Hessians.pt`` keys to our ``layers.{i}.{proj}``.

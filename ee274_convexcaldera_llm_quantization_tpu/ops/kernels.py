@@ -510,6 +510,62 @@ def quantized_matmul_w4a8_xla(x, packed, row_scales, num_bits):
     return acc.astype(jnp.float32) * row_scales[:, 0][None, :] * sx
 
 
+def _bf16_stacked_kernel(l_ref, x_ref, w_ref, o_ref):
+    del l_ref
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def bf16_matmul_stacked(
+    x: jax.Array,            # (M, K)
+    W: jax.Array,            # (layers, N, K) bf16
+    layer: jax.Array,        # () int32
+    block_m: int = 128,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``y = x @ W[layer].T`` with scalar-prefetch layer selection.
+
+    Used for the low-rank L/R factor matmuls in the stacked decode path:
+    an XLA ``dynamic_index_in_dim`` would materialize a copy of the layer's
+    factor matrix before the dot; here the DMA engine reads the slab
+    directly.
+    """
+    M, K = x.shape
+    N = W.shape[1]
+    block_n = min(block_n, N)
+    while N % block_n:
+        block_n //= 2
+    TM = min(block_m, _round_up(M, 16))
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // TM, N // block_n),
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i, j, L: (i, 0)),
+            pl.BlockSpec((1, block_n, K), lambda i, j, L: (L[0], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j, L: (i, j)),
+    )
+    out = pl.pallas_call(
+        _bf16_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x.astype(jnp.bfloat16),
+      W.astype(jnp.bfloat16))
+    return out[:M]
+
+
 # ---------------------------------------------------------------------------
 # W8A8 container: int8 weights served directly (zero unpack work)
 #

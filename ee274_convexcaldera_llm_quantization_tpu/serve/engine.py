@@ -108,14 +108,33 @@ class ServingEngine:
 
     # -- internals ----------------------------------------------------------
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round a prompt length up to a power of two: the prefill step is
+        jitted per sequence length, so bucketing bounds the number of
+        compilations at log2(max_seq_len) instead of one per unique length."""
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
     def _admit(self) -> None:
         while self.queue and self.free_slots:
             req = self.queue.popleft()
             slot = self.free_slots.pop()
-            prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
+            n = len(req.prompt)
+            bucket = min(self._bucket(n), self.max_seq_len)
+            # right-pad to the bucket: pad K/V beyond the real prompt is
+            # causally invisible (decode at position p attends <= p, and
+            # each decode step overwrites its pad slot before exposing it);
+            # logits are taken at the true last prompt position
+            padded = np.zeros(bucket, np.int32)
+            padded[:n] = req.prompt
+            prompt = jnp.asarray(padded, jnp.int32)[None, :]
             logits, self.cache = llama.prefill_into_slot(
                 self.params, prompt, jnp.asarray(slot), self.cache,
-                self.config, self.use_pallas, self.interpret)
+                self.config, self.use_pallas, self.interpret,
+                last_pos=jnp.asarray(n - 1))
             tok = int(self._sample(logits[None, :], req.temperature)[0])
             st = _Slot(req=req, pos=len(req.prompt), generated=[tok],
                        start_time=time.time())

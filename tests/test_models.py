@@ -196,3 +196,46 @@ class TestPerplexity:
         with pytest.raises(ValueError):
             evaluate_perplexity(tiny_model, np.zeros(10, np.int32), TINY,
                                 window=64)
+
+
+class TestBudgetedSurgery:
+    def test_budget_respected_and_sensitive_layers_favored(self, tiny_model):
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model_with_budget)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=4, iters=1,
+                           lplr_iters=1)
+        # synthetic Hessians: layer 0 q_proj is 100x more sensitive
+        h = {}
+        for i in range(TINY.num_layers):
+            for proj in ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_proj", "up_proj", "down_proj"):
+                shape = getattr(tiny_model.layers[i], proj).w.shape
+                h[f"layers.{i}.{proj}"] = np.ones(shape[1])
+        h["layers.0.q_proj"] *= 100.0
+        qp, report, alloc = compress_model_with_budget(
+            tiny_model, cp, B_tot=3.0, hessians=h, menu=(2, 4, 8))
+        assert alloc.budget_used <= 3.0 + 1e-9
+        # the sensitive projection gets at least as many bits as any other
+        assert alloc.bits["layers.0.q_proj"] == max(alloc.bits.values())
+        # mixed precision actually produced and serves
+        bits_used = {int(b) for b in alloc.bits.values()}
+        assert len(bits_used) >= 2
+        toks = rand_tokens(jax.random.PRNGKey(20), 1, 8)
+        logits = llama.forward(qp, toks, TINY)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_per_layer_bits_match_allocation(self, tiny_model):
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model_with_budget)
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+            CalderaLinear)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=4, iters=1,
+                           lplr_iters=1)
+        qp, report, alloc = compress_model_with_budget(
+            tiny_model, cp, B_tot=4.0, menu=(2, 4, 8))
+        for i, lp in enumerate(qp.layers):
+            for proj in ("q_proj", "down_proj"):
+                lin = getattr(lp, proj)
+                name = f"layers.{i}.{proj}"
+                if isinstance(lin, CalderaLinear):
+                    assert lin.num_bits == int(alloc.bits[name])
