@@ -133,6 +133,16 @@ def main():
     args = parser.parse_args()
 
     import jax
+    # Persistent compile cache: the 7B decode graph takes minutes to compile
+    # through the remote-compile relay; cached runs start in seconds.
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from ee274_convexcaldera_llm_quantization_tpu.models import llama, stacked
     from ee274_convexcaldera_llm_quantization_tpu.models.config import PRESETS

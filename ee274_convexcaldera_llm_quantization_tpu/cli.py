@@ -112,8 +112,16 @@ def cmd_serve(args):
         Request, ServingEngine)
 
     params, config = _load_model(args)
-    eng = ServingEngine(params, config, max_slots=args.max_slots,
-                        max_seq_len=args.max_seq_len)
+    if args.engine == "paged":
+        from ee274_convexcaldera_llm_quantization_tpu.serve.paged_engine import (
+            PagedServingEngine)
+        eng = PagedServingEngine(
+            params, config, max_slots=args.max_slots,
+            num_pages=args.num_pages, page_size=args.page_size,
+            max_pages_per_seq=-(-args.max_seq_len // args.page_size))
+    else:
+        eng = ServingEngine(params, config, max_slots=args.max_slots,
+                            max_seq_len=args.max_seq_len)
     rng = np.random.default_rng(0)
     t0 = time.time()
     for uid in range(args.num_requests):
@@ -184,6 +192,10 @@ def main(argv=None):
     p.add_argument("--num-requests", type=int, default=8)
     p.add_argument("--prompt-len", type=int, default=32)
     p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--engine", default="slotted",
+                   choices=["slotted", "paged"])
+    p.add_argument("--num-pages", type=int, default=256)
+    p.add_argument("--page-size", type=int, default=16)
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

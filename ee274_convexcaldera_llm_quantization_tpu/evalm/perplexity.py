@@ -42,13 +42,32 @@ def evaluate_perplexity(
     stride: Optional[int] = None,
     use_pallas: bool = False,
     interpret: bool = False,
+    mesh=None,
+    batch_axis: str = "dp",
+    seq_axis: Optional[str] = None,
 ) -> float:
     """Sliding-window perplexity over a 1-D token stream.
 
     Non-overlapping windows by default (``stride = window``), matching the
     common WikiText-2 protocol. The final partial batch is padded (padded
     rows are excluded from the average).
+
+    With a ``mesh``, evaluation shards over the devices: windows are
+    data-parallel over ``batch_axis`` and, when ``seq_axis`` is given, the
+    sequence dimension is additionally sharded (GSPMD partitions the
+    attention/matmul work along the context — the sequence-parallel eval
+    story; the reference has no parallelism of any kind, SURVEY.md
+    section 2.10).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tok_sharding = NamedSharding(mesh, P(batch_axis, seq_axis))
+        if batch_size % mesh.shape[batch_axis] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by mesh axis "
+                f"'{batch_axis}' of size {mesh.shape[batch_axis]}")
+    else:
+        tok_sharding = None
     stride = stride or window
     stream = np.asarray(token_stream).reshape(-1)
     starts = list(range(0, len(stream) - window + 1, stride))
@@ -64,6 +83,8 @@ def evaluate_perplexity(
     total_nll, total_tok = 0.0, 0
     for i in range(0, len(windows), batch_size):
         toks = jnp.asarray(windows[i:i + batch_size], jnp.int32)
+        if tok_sharding is not None:
+            toks = jax.device_put(toks, tok_sharding)
         row_nll = np.asarray(_window_nll(params, toks, config, use_pallas,
                                          interpret))
         n_real = min(batch_size, n - i)

@@ -24,7 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as K
 
@@ -48,7 +48,7 @@ def column_parallel_w4a8(
         local, mesh=mesh,
         in_specs=(P(None, None), P(axis, None), P(axis, None)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -96,7 +96,7 @@ def row_parallel_w4a8(
         local, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis)),
         out_specs=P(None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -183,3 +183,29 @@ class TestTrainStep:
         params, state, loss = train.train_step(params, state, toks, TINY,
                                                opt)
         assert np.isfinite(float(loss))
+
+
+class TestShardedEval:
+    def test_dp_and_sp_perplexity_matches_single_device(self, tiny_model):
+        from ee274_convexcaldera_llm_quantization_tpu.evalm.perplexity import (
+            evaluate_perplexity)
+        stream = np.random.default_rng(30).integers(
+            0, TINY.vocab_size, size=8 * 64)
+        base = evaluate_perplexity(tiny_model, stream, TINY, window=64,
+                                   batch_size=4)
+        mesh = pm.make_mesh(dp=4, tp=2)
+        dp = evaluate_perplexity(tiny_model, stream, TINY, window=64,
+                                 batch_size=4, mesh=mesh)
+        assert abs(np.log(dp) - np.log(base)) < 1e-3
+        sp = evaluate_perplexity(tiny_model, stream, TINY, window=64,
+                                 batch_size=4, mesh=mesh, seq_axis="tp")
+        assert abs(np.log(sp) - np.log(base)) < 1e-3
+
+    def test_bad_batch_divisibility_raises(self, tiny_model):
+        from ee274_convexcaldera_llm_quantization_tpu.evalm.perplexity import (
+            evaluate_perplexity)
+        mesh = pm.make_mesh(dp=4, tp=2)
+        with pytest.raises(ValueError):
+            evaluate_perplexity(tiny_model,
+                                np.zeros(256, np.int64), TINY, window=64,
+                                batch_size=3, mesh=mesh)
