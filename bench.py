@@ -118,7 +118,8 @@ def weight_bytes_per_token(config, num_bits, rank):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="llama2-7b",
-                        choices=["llama2-7b", "llama2-13b", "tiny"])
+                        choices=["llama2-7b", "llama2-13b", "qwen2-0.5b",
+                                 "tiny"])
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--rank", type=int, default=128)
     parser.add_argument("--batch", type=int, default=8)

@@ -17,7 +17,7 @@ SURVEY.md section 2.9).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ from the true (m, n) shape instead of the square-matrix approximation via
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

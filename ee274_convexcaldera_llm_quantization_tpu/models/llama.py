@@ -16,9 +16,8 @@ models, ``main.py:261-266``):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

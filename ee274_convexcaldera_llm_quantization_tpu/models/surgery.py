@@ -22,7 +22,7 @@ from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
     CalderaParams, caldera)
 from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as _K
 from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
-    CalderaLinear, DenseLinear, Linear, compress_linear)
+    DenseLinear, compress_linear)
 from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
     LayerParams, ModelParams)
 

@@ -19,9 +19,6 @@ import optax
 
 from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
 from ee274_convexcaldera_llm_quantization_tpu.models import llama
-from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
-    DenseLinear)
-
 Array = jax.Array
 
 

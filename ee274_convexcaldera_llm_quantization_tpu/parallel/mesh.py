@@ -18,7 +18,7 @@ The reference is strictly single-process / single-GPU (SURVEY.md section
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -18,9 +18,6 @@ by rows; row-parallel shards ``R`` by columns with the rank dim replicated.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -11,7 +11,6 @@ copies KV data and context capacity is bounded by the pool, not by
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Tuple
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
