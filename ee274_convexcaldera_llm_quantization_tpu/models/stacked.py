@@ -232,6 +232,85 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
+                           slot: Array, cache: KVCache, config: ModelConfig,
+                           interpret: bool = False,
+                           last_pos: Optional[Array] = None
+                           ) -> Tuple[Array, KVCache]:
+    """Prefill one prompt (1, S) into slot ``slot`` via the fast w4a8 path.
+
+    Same scalar-prefetch weight access as :func:`decode_step_w4a8` (the
+    W4A8 kernels take (S, K) activations, so prefill reuses them verbatim).
+    ``last_pos`` as in ``llama.prefill_into_slot`` (bucketed prompts).
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    S = tokens.shape[1]
+    lp = params.layers
+    x = params.embed[tokens[0]].astype(jnp.float32)      # (S, h)
+    positions = jnp.arange(S)
+    cos, sin = llama.rope_tables(config, positions[None, :])
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
+
+    def qmm(lin, l, y):
+        yq = Kr.quantized_matmul_w4a8_stacked(
+            y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
+        R_l = jax.lax.dynamic_index_in_dim(lin.R, l, 0, keepdims=False)
+        L_l = jax.lax.dynamic_index_in_dim(lin.L, l, 0, keepdims=False)
+        xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T,
+                     preferred_element_type=jnp.float32)
+        ylr = jnp.dot(xr.astype(jnp.bfloat16), L_l.T,
+                      preferred_element_type=jnp.float32)
+        gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0,
+                                          keepdims=False)
+        out = (yq + ylr) * gs
+        if lin.b is not None:
+            out = out + jax.lax.dynamic_index_in_dim(
+                lin.b, l, 0, keepdims=False)[None, :]
+        return out
+
+    def body(l, carry):
+        x, ck_all, cv_all = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], an, config.rms_norm_eps)[0]
+        q = qmm(lp.q_proj, l, y).reshape(1, S, config.num_heads,
+                                         config.head_dim)
+        k = qmm(lp.k_proj, l, y).reshape(1, S, config.num_kv_heads,
+                                         config.head_dim)
+        v = qmm(lp.v_proj, l, y).reshape(1, S, config.num_kv_heads,
+                                         config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        attn = llama._attention(q, k, v, mask).reshape(S, config.q_dim)
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k.astype(ck_all.dtype)[None], (l, slot, 0, 0, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v.astype(cv_all.dtype)[None], (l, slot, 0, 0, 0))
+        x = x + qmm(lp.o_proj, l, attn)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
+        h = jax.nn.silu(qmm(lp.gate_proj, l, y)) * qmm(lp.up_proj, l, y)
+        x = x + qmm(lp.down_proj, l, h)
+        return x, ck_all, cv_all
+
+    x, ck, cv = jax.lax.fori_loop(0, config.num_layers, body,
+                                  (x, cache.k, cache.v))
+    if last_pos is None:
+        x_last = x[-1:]
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, last_pos, 1, axis=0)
+    logits = llama._logits(
+        x_last[None],
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits[0, 0, :], KVCache(ck, cv)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("config", "use_pallas", "interpret"))
 def prefill(params: StackedModelParams, tokens: Array, cache: KVCache,
             config: ModelConfig, use_pallas: bool = False,

@@ -1,0 +1,72 @@
+"""Production serving engine on the W4A8 fast path.
+
+Same continuous-batching scheduler as :class:`serve.engine.ServingEngine`,
+but prefill and decode run the stacked scalar-prefetch W4A8 path
+(``models.stacked.decode_step_w4a8`` / ``prefill_into_slot_w4a8``) — the
+configuration that reaches ~52% of the HBM roofline on a single chip
+(PERFORMANCE.md). Requires a :class:`StackedModelParams` whose projections
+are all w4a8 :class:`CalderaLinear` (e.g. from
+``compress_model(..., serving_mode="w4a8")`` + ``stack_layers``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
+from ee274_convexcaldera_llm_quantization_tpu.models import stacked
+from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+    ServingEngine, _Slot)
+
+
+class FastServingEngine(ServingEngine):
+    """Continuous batching over the stacked W4A8 decode/prefill steps."""
+
+    def __init__(self, params: "stacked.StackedModelParams",
+                 config: ModelConfig, max_slots: int = 8,
+                 max_seq_len=None, interpret: bool = False, seed: int = 0):
+        super().__init__(params, config, max_slots=max_slots,
+                         max_seq_len=max_seq_len, use_pallas=True,
+                         interpret=interpret, seed=seed)
+
+    def _admit(self) -> None:
+        while self.queue and self.free_slots:
+            req = self.queue.popleft()
+            slot = self.free_slots.pop()
+            n = len(req.prompt)
+            bucket = min(self._bucket(n), self.max_seq_len)
+            padded = np.zeros(bucket, np.int32)
+            padded[:n] = req.prompt
+            logits, self.cache = stacked.prefill_into_slot_w4a8(
+                self.params, jnp.asarray(padded, jnp.int32)[None, :],
+                jnp.asarray(slot), self.cache, self.config,
+                interpret=self.interpret, last_pos=jnp.asarray(n - 1))
+            tok = int(self._sample(logits[None, :], req.temperature)[0])
+            st = _Slot(req=req, pos=n, generated=[tok],
+                       start_time=time.time())
+            self.slots[slot] = st
+            self.tokens_generated += 1
+            self._maybe_finish(slot)
+
+    def _decode(self) -> None:
+        tokens = np.zeros(self.max_slots, np.int32)
+        pos = np.zeros(self.max_slots, np.int32)
+        for s, st in self.slots.items():
+            tokens[s] = st.generated[-1]
+            pos[s] = st.pos
+        logits, self.cache = stacked.decode_step_w4a8(
+            self.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache,
+            self.config, interpret=self.interpret)
+        temps = np.zeros(self.max_slots, np.float32)
+        for s, st in self.slots.items():
+            temps[s] = st.req.temperature
+        sampled = np.asarray(self._sample(logits, temps))
+        for s in list(self.slots):
+            st = self.slots[s]
+            st.generated.append(int(sampled[s]))
+            st.pos += 1
+            self.tokens_generated += 1
+            self._maybe_finish(s)

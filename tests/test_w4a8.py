@@ -135,3 +135,24 @@ class TestW4A8Decode:
             np.asarray(llama.forward(w4a8_model, toks, TINY)),
             np.asarray(llama.forward(params2, toks, TINY)),
             rtol=1e-5, atol=1e-5)
+
+
+class TestFastEngine:
+    def test_fast_engine_matches_base_engine(self, w4a8_model):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+            Request, ServingEngine)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(0, TINY.vocab_size, size=5),
+                   rng.integers(0, TINY.vocab_size, size=9)]
+        base = ServingEngine(w4a8_model, TINY, max_slots=2, max_seq_len=32)
+        sp = stacked.stack_layers(w4a8_model)
+        fast = FastServingEngine(sp, TINY, max_slots=2, max_seq_len=32,
+                                 interpret=True)
+        for uid, p in enumerate(prompts):
+            base.submit(Request(uid=uid, prompt=p, max_new_tokens=5))
+            fast.submit(Request(uid=uid, prompt=p, max_new_tokens=5))
+        out_b = {c.uid: c.tokens for c in base.run()}
+        out_f = {c.uid: c.tokens for c in fast.run()}
+        assert out_f == out_b
