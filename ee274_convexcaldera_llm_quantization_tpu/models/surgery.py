@@ -95,6 +95,7 @@ def compress_model(
     min_dim: int = 0,
     serving_bits: Optional[int] = None,
     serving_mode: str = "grouped",
+    use_hadamard: bool = False,
     progress: Optional[Callable[[str, float], None]] = None,
 ) -> Tuple[ModelParams, SurgeryReport]:
     """Compress the selected projections of a model.
@@ -134,6 +135,26 @@ def compress_model(
             H = None
             if hessians is not None and name in hessians:
                 H = jnp.asarray(np.asarray(hessians[name]), jnp.float32)
+            if use_hadamard:
+                # Reference's incoherence path (``main.py:75-133``): the
+                # rotated basis is not servable without runtime activation
+                # rotation, so — like the reference — the result stays a
+                # dense materialized weight; this path trades serving
+                # compression for outlier robustness of the decomposition.
+                W_hat, err = caldera_with_hadamard(caldera_params, W, H=H)
+                report.errors[name] = err
+                if progress is not None:
+                    progress(name, err)
+                if err > error_threshold:
+                    report.skipped.append(name)
+                    fields[proj] = lin
+                else:
+                    report.compressed.append(name)
+                    fields[proj] = DenseLinear(
+                        w=W_hat.astype(lin.w.dtype), b=lin.b)
+                report.total_bits += m * n * 16
+                report.total_params += m * n
+                continue
             decomp = caldera(caldera_params, W, H=H, scale_W=False)
             # Serving form re-quantizes the *unquantized* residual
             # W/gs - L @ R with per-(row, group) scales — a strictly finer

@@ -122,3 +122,28 @@ class TestProfiling:
         import json
         lines = [json.loads(l) for l in open(p)]
         assert lines[0]["layer"] == "q_proj"
+
+
+class TestHadamardSurgeryIntegration:
+    def test_use_hadamard_produces_dense_materialized_layers(self):
+        import jax
+        from ee274_convexcaldera_llm_quantization_tpu.models import llama
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model)
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+            DenseLinear)
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=4, iters=1,
+                           lplr_iters=1)
+        qp, report = compress_model(params, cp, layer_range=(0, 0),
+                                    proj_filter=("q_proj",),
+                                    use_hadamard=True)
+        # rotated path materializes dense (reference behavior) with the
+        # decomposition applied
+        lin = qp.layers[0].q_proj
+        assert isinstance(lin, DenseLinear)
+        assert not np.allclose(np.asarray(lin.w, np.float32),
+                               np.asarray(params.layers[0].q_proj.w,
+                                          np.float32))
+        assert report.errors["layers.0.q_proj"] < 1.0
