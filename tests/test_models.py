@@ -239,3 +239,38 @@ class TestBudgetedSurgery:
                 name = f"layers.{i}.{proj}"
                 if isinstance(lin, CalderaLinear):
                     assert lin.num_bits == int(alloc.bits[name])
+
+
+class TestBatchedSurgery:
+    def test_batched_matches_serial(self, tiny_model):
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model, compress_model_batched)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=8, iters=2,
+                           lplr_iters=2)
+        h = {f"layers.{i}.q_proj": np.ones(TINY.hidden_size) * (i + 1)
+             for i in range(TINY.num_layers)}
+        serial, rep_s = compress_model(tiny_model, cp, hessians=h)
+        batched, rep_b = compress_model_batched(tiny_model, cp, hessians=h)
+        assert sorted(rep_b.compressed) == sorted(rep_s.compressed)
+        for name in rep_s.errors:
+            assert abs(rep_b.errors[name] - rep_s.errors[name]) < 5e-3, name
+        toks = rand_tokens(jax.random.PRNGKey(21), 1, 8)
+        np.testing.assert_allclose(
+            np.asarray(llama.forward(batched, toks, TINY)),
+            np.asarray(llama.forward(serial, toks, TINY)),
+            rtol=5e-2, atol=5e-2)
+
+    def test_batched_respects_filters(self, tiny_model):
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model_batched)
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+            CalderaLinear, DenseLinear)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=4, iters=1,
+                           lplr_iters=1)
+        qp, report = compress_model_batched(
+            tiny_model, cp, layer_range=(1, 1),
+            proj_filter=("q_proj", "down_proj"))
+        assert isinstance(qp.layers[0].q_proj, DenseLinear)
+        assert isinstance(qp.layers[1].q_proj, CalderaLinear)
+        assert isinstance(qp.layers[1].down_proj, CalderaLinear)
+        assert isinstance(qp.layers[1].up_proj, DenseLinear)
