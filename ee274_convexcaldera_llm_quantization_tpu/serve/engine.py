@@ -62,12 +62,15 @@ class ServingEngine:
     """Continuous-batching engine over a fixed slot pool."""
 
     def __init__(self, params, config: ModelConfig, max_slots: int = 8,
-                 max_seq_len: Optional[int] = None, use_pallas: bool = False,
+                 max_seq_len: Optional[int] = None,
+                 use_pallas: Optional[bool] = None,
                  interpret: bool = False, seed: int = 0):
         self.params = params
         self.config = config
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len or config.max_seq_len
+        if use_pallas is None:   # auto-detect: Pallas kernels on TPU
+            use_pallas = jax.devices()[0].platform in ("tpu", "axon")
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.cache = llama.KVCache.create(config, max_slots, self.max_seq_len)
