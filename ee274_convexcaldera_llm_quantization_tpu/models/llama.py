@@ -61,6 +61,43 @@ class KVCache(NamedTuple):
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache with per-(token, head) symmetric scales.
+
+    Halves cache HBM traffic (the decode-attention bottleneck at long
+    context) and doubles context capacity vs a bf16 :class:`KVCache`.
+    Scales are applied inside attention as rank-1 rescales of the logits
+    (K side) and of the probabilities (V side), so the dequantized tensors
+    are never materialized in HBM.
+    """
+    k: Array                       # (L, B, T, KVH, D) int8
+    v: Array                       # (L, B, T, KVH, D) int8
+    k_scale: Array                 # (L, B, T, KVH) f32
+    v_scale: Array                 # (L, B, T, KVH) f32
+
+    @staticmethod
+    def create(config: ModelConfig, batch: int,
+               max_len: int) -> "QuantKVCache":
+        shape = (config.num_layers, batch, max_len, config.num_kv_heads,
+                 config.head_dim)
+        return QuantKVCache(jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape, jnp.int8),
+                            jnp.zeros(shape[:-1], jnp.float32),
+                            jnp.zeros(shape[:-1], jnp.float32))
+
+
+def quantize_kv(x: Array) -> Tuple[Array, Array]:
+    """Symmetric int8 quantization over the trailing head_dim axis.
+
+    ``x``: (..., KVH, D) -> (int8 codes, f32 scales (..., KVH)).
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    scale = absmax / 127.0
+    codes = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return codes, scale[..., 0]
+
+
 def init_params(key: Array, config: ModelConfig,
                 dtype=jnp.bfloat16) -> ModelParams:
     """Random init with standard transformer scaling (for tests / benches)."""
@@ -136,6 +173,31 @@ def _attention(q: Array, k: Array, v: Array, mask: Optional[Array]) -> Array:
         logits = logits + mask            # mask broadcast: (B, 1, 1, S, T)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, S, H, D)
+
+
+def _attention_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
+                  mask: Optional[Array]) -> Array:
+    """Attention over an int8 KV cache (same math as :func:`_attention`).
+
+    ``q``: (B, S, H, D) f32; ``k``/``v``: (B, T, KVH, D) int8;
+    ``ks``/``vs``: (B, T, KVH) f32 per-(token, head) scales. The K scale is
+    folded into the logits and the V scale into the probabilities, so the
+    int8 slabs go straight from HBM into the dots.
+    """
+    B, S, H, D = q.shape
+    KVH = k.shape[2]
+    groups = H // KVH
+    q = q.reshape(B, S, KVH, groups, D)
+    logits = jnp.einsum("bskgd,btkd->bkgst", q.astype(jnp.float32),
+                        k.astype(jnp.float32))
+    logits = logits * (ks.transpose(0, 2, 1)[:, :, None, None, :]
+                       / jnp.sqrt(jnp.float32(D)))
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bkgst,btkd->bskgd", pv, v.astype(jnp.float32))
     return out.reshape(B, S, H, D)
 
 

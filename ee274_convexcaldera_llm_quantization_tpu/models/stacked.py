@@ -164,9 +164,14 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
     materializes a full per-layer copy of scanned operands before a Pallas
     call — ~3x the HBM traffic); the kernel's index_map selects the layer
     slab directly. The KV cache is donated and updated in place.
+
+    ``cache`` may be a bf16 :class:`KVCache` or an int8
+    :class:`llama.QuantKVCache` (half the cache bandwidth, double the
+    context capacity); the branch is a trace-time pytree-structure check.
     """
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
+    quant_kv = isinstance(cache, llama.QuantKVCache)
     B = tokens.shape[0]
     T = cache.k.shape[2]
     lp = params.layers
@@ -198,7 +203,7 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
         return out
 
     def body(l, carry):
-        x, ck_all, cv_all = carry
+        x, cache = carry
         an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], an, config.rms_norm_eps)[:, 0]
         q = qmm(lp.q_proj, l, y).reshape(B, 1, config.num_heads,
@@ -209,26 +214,44 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
                                          config.head_dim)
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
-        ck_all = ck_all.at[l, rows, pos].set(k[:, 0].astype(ck_all.dtype))
-        cv_all = cv_all.at[l, rows, pos].set(v[:, 0].astype(cv_all.dtype))
-        ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
-        attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
+        if quant_kv:
+            kq, ksc = llama.quantize_kv(k[:, 0])
+            vq, vsc = llama.quantize_kv(v[:, 0])
+            cache = llama.QuantKVCache(
+                cache.k.at[l, rows, pos].set(kq),
+                cache.v.at[l, rows, pos].set(vq),
+                cache.k_scale.at[l, rows, pos].set(ksc),
+                cache.v_scale.at[l, rows, pos].set(vsc))
+            attn = llama._attention_q8(
+                q,
+                jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.k_scale, l, 0,
+                                             keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v_scale, l, 0,
+                                             keepdims=False),
+                mask).reshape(B, config.q_dim)
+        else:
+            cache = KVCache(
+                cache.k.at[l, rows, pos].set(k[:, 0].astype(cache.k.dtype)),
+                cache.v.at[l, rows, pos].set(v[:, 0].astype(cache.v.dtype)))
+            ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
+            attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
         x = x + qmm(lp.o_proj, l, attn)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         h = jax.nn.silu(qmm(lp.gate_proj, l, y)) * qmm(lp.up_proj, l, y)
         x = x + qmm(lp.down_proj, l, h)
-        return x, ck_all, cv_all
+        return x, cache
 
-    x, ck, cv = jax.lax.fori_loop(0, config.num_layers, body,
-                                  (x, cache.k, cache.v))
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
     logits = llama._logits(
         x[:, None, :],
         llama.ModelParams(params.embed, [], params.final_norm,
                           params.lm_head),
         config, False, interpret)
-    return logits[:, 0, :], KVCache(ck, cv)
+    return logits[:, 0, :], cache
 
 
 @functools.partial(jax.jit,
@@ -244,9 +267,13 @@ def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
     Same scalar-prefetch weight access as :func:`decode_step_w4a8` (the
     W4A8 kernels take (S, K) activations, so prefill reuses them verbatim).
     ``last_pos`` as in ``llama.prefill_into_slot`` (bucketed prompts).
+    ``cache`` may be bf16 or int8 (:class:`llama.QuantKVCache`): prompt
+    self-attention always uses the exact K/V; only the cache write is
+    quantized.
     """
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
+    quant_kv = isinstance(cache, llama.QuantKVCache)
     S = tokens.shape[1]
     lp = params.layers
     x = params.embed[tokens[0]].astype(jnp.float32)      # (S, h)
@@ -273,7 +300,7 @@ def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
         return out
 
     def body(l, carry):
-        x, ck_all, cv_all = carry
+        x, cache = carry
         an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], an, config.rms_norm_eps)[0]
         q = qmm(lp.q_proj, l, y).reshape(1, S, config.num_heads,
@@ -285,19 +312,34 @@ def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
         attn = llama._attention(q, k, v, mask).reshape(S, config.q_dim)
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k.astype(ck_all.dtype)[None], (l, slot, 0, 0, 0))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v.astype(cv_all.dtype)[None], (l, slot, 0, 0, 0))
+        if quant_kv:
+            kq, ksc = llama.quantize_kv(k)
+            vq, vsc = llama.quantize_kv(v)
+            cache = llama.QuantKVCache(
+                jax.lax.dynamic_update_slice(cache.k, kq[None],
+                                             (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v, vq[None],
+                                             (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.k_scale, ksc[None],
+                                             (l, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v_scale, vsc[None],
+                                             (l, slot, 0, 0)))
+        else:
+            cache = KVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, k.astype(cache.k.dtype)[None],
+                    (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, v.astype(cache.v.dtype)[None],
+                    (l, slot, 0, 0, 0)))
         x = x + qmm(lp.o_proj, l, attn)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         h = jax.nn.silu(qmm(lp.gate_proj, l, y)) * qmm(lp.up_proj, l, y)
         x = x + qmm(lp.down_proj, l, h)
-        return x, ck_all, cv_all
+        return x, cache
 
-    x, ck, cv = jax.lax.fori_loop(0, config.num_layers, body,
-                                  (x, cache.k, cache.v))
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
     if last_pos is None:
         x_last = x[-1:]
     else:
@@ -307,7 +349,7 @@ def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
         llama.ModelParams(params.embed, [], params.final_norm,
                           params.lm_head),
         config, False, interpret)
-    return logits[0, 0, :], KVCache(ck, cv)
+    return logits[0, 0, :], cache
 
 
 @functools.partial(jax.jit,

@@ -23,14 +23,26 @@ from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
 
 
 class FastServingEngine(ServingEngine):
-    """Continuous batching over the stacked W4A8 decode/prefill steps."""
+    """Continuous batching over the stacked W4A8 decode/prefill steps.
+
+    ``kv_int8=True`` swaps the bf16 KV cache for the int8
+    :class:`llama.QuantKVCache` — half the cache bandwidth (the decode
+    bottleneck at long context) and double the context capacity, at the
+    cost of per-(token, head) 8-bit rounding of K/V.
+    """
 
     def __init__(self, params: "stacked.StackedModelParams",
                  config: ModelConfig, max_slots: int = 8,
-                 max_seq_len=None, interpret: bool = False, seed: int = 0):
+                 max_seq_len=None, interpret: bool = False, seed: int = 0,
+                 kv_int8: bool = False):
         super().__init__(params, config, max_slots=max_slots,
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
+        if kv_int8:
+            from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+                QuantKVCache)
+            self.cache = QuantKVCache.create(config, max_slots,
+                                             self.max_seq_len)
 
     def _admit(self) -> None:
         while self.queue and self.free_slots:
