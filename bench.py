@@ -99,7 +99,8 @@ def build_compressed_llama_params(config, num_bits=4, rank=128, seed=0,
     return build()
 
 
-def weight_bytes_per_token(config, num_bits, rank):
+def weight_bytes_per_token(config, num_bits, rank, factor_bytes=2,
+                           head_bytes=2):
     """Bytes of layer weights read per decoded token (per batch step the
     whole weight set is read once; per token = per step / batch)."""
     h, im = config.hidden_size, config.intermediate_size
@@ -109,9 +110,11 @@ def weight_bytes_per_token(config, num_bits, rank):
     for (m, n) in shapes:
         r = min(rank, min(m, n))
         per_layer += m * n * num_bits // 8          # packed codes
-        per_layer += r * (m + n) * 2                # bf16 factors
+        per_layer += r * (m + n) * factor_bytes     # L/R factors
     total = per_layer * config.num_layers
-    total += config.vocab_size * h * 2 * 2          # embed + lm_head bf16
+    # embed gather is per-token (negligible); lm_head read per step
+    total += config.vocab_size * h * 2              # embed bf16
+    total += config.vocab_size * h * head_bytes     # lm_head
     return total
 
 
@@ -131,6 +134,14 @@ def main():
                         choices=["w4a8", "grouped"],
                         help="serving kernel: int8-MXU (fast) or grouped "
                              "bf16 (max fidelity)")
+    parser.add_argument("--fused", action="store_true",
+                        help="fuse qkv and gate/up into single kernel calls "
+                             "(w4a8 fast path only)")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache (half cache bandwidth)")
+    parser.add_argument("--int8-factors", action="store_true",
+                        help="int8 low-rank factors + int8 lm_head "
+                             "(halves factor/head HBM reads)")
     args = parser.parse_args()
 
     import jax
@@ -145,7 +156,8 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from ee274_convexcaldera_llm_quantization_tpu.models import llama, stacked
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        fused as fusedm, llama, stacked)
     from ee274_convexcaldera_llm_quantization_tpu.models.config import PRESETS
 
     config = PRESETS[args.model]
@@ -155,10 +167,21 @@ def main():
     t0 = time.time()
     params = build_compressed_llama_params(config, args.bits, args.rank,
                                            mode=args.mode)
+    if args.fused:
+        if args.mode != "w4a8":
+            parser.error("--fused requires --mode w4a8")
+        params = fusedm.fuse_stacked(params)
+        if args.int8_factors:
+            params = fusedm.quantize_factors_int8_fused(params)
+    elif args.int8_factors:
+        params = stacked.quantize_model_factors_int8(params)
     jax.block_until_ready(params.embed)
     print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
-    cache = llama.KVCache.create(config, args.batch, args.context)
+    if args.kv_int8:
+        cache = llama.QuantKVCache.create(config, args.batch, args.context)
+    else:
+        cache = llama.KVCache.create(config, args.batch, args.context)
     tokens = jnp.zeros((args.batch,), jnp.int32)
     pos0 = args.context // 2                         # mid-context decode
     B = args.batch
@@ -177,7 +200,11 @@ def main():
         def body(i, carry):
             cache, tok, acc = carry
             pos = jnp.full((B,), pos0 + i, jnp.int32)
-            if fast_path:
+            if args.fused:
+                logits, cache = fusedm.decode_step_fused(
+                    params, tok, pos, cache, config,
+                    interpret=not use_pallas)
+            elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
             else:
@@ -215,14 +242,19 @@ def main():
 
     # Roofline: HBM bandwidth bound on weight reads per decode step.
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(backend, 50e9)  # v5e
-    wb = weight_bytes_per_token(config, args.bits, args.rank)
+    fb = 1 if args.int8_factors else 2
+    wb = weight_bytes_per_token(config, args.bits, args.rank,
+                                factor_bytes=fb, head_bytes=fb)
     roofline_steps_per_s = hbm_bw / wb
     roofline_tok_per_s = roofline_steps_per_s * args.batch
     vs = tok_per_s / roofline_tok_per_s
 
+    variant = ("-fused" if args.fused else "") + \
+        ("-kv8" if args.kv_int8 else "") + \
+        ("-f8" if args.int8_factors else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
-                  f"{args.bits}-bit+rank{args.rank} {args.mode} "
+                  f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "
                   f"batch{args.batch}",
         "value": round(tok_per_s, 2),
         "unit": "tokens/s",

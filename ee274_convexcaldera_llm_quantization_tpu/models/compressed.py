@@ -59,10 +59,14 @@ class CalderaLinear:
 
     packed: Array                 # (out, in * bits / 8) uint8
     scales: Array                 # (out, in / group) f32
-    L: Array                      # (out, rank) bf16
-    R: Array                      # (rank, in) bf16
+    L: Array                      # (out, rank) bf16 — or int8 codes
+    R: Array                      # (rank, in) bf16 — or int8 codes
     global_scale: Array           # () f32
     b: Optional[Array] = None     # (out,)
+    # int8 factors (from quantize_factors_int8): per-row absmax scales;
+    # None => L/R are bf16 values
+    L_scale: Optional[Array] = None   # (out, 1) f32
+    R_scale: Optional[Array] = None   # (rank, 1) f32
     num_bits: int = dataclasses.field(default=4, metadata=dict(static=True))
     group_size: int = dataclasses.field(default=256,
                                         metadata=dict(static=True))
@@ -76,6 +80,15 @@ class CalderaLinear:
     @property
     def shape(self):
         return (self.out_features, self.in_features)
+
+    def factors(self) -> tuple:
+        """Dense bf16 (L, R) regardless of storage dtype."""
+        L, R = self.L, self.R
+        if self.L_scale is not None:
+            L = (L.astype(jnp.float32) * self.L_scale).astype(jnp.bfloat16)
+        if self.R_scale is not None:
+            R = (R.astype(jnp.float32) * self.R_scale).astype(jnp.bfloat16)
+        return L, R
 
     def materialize(self) -> Array:
         """Dense reconstruction (for tests / error reporting only)."""
@@ -92,11 +105,47 @@ class CalderaLinear:
             Q = K.dequant_serving_xla(self.packed, self.scales,
                                       self.num_bits,
                                       self.group_size).astype(jnp.float32)
-        return self.global_scale * (Q + self.L.astype(jnp.float32)
-                                    @ self.R.astype(jnp.float32))
+        L, R = self.factors()
+        return self.global_scale * (Q + L.astype(jnp.float32)
+                                    @ R.astype(jnp.float32))
 
 
-Linear = Union[DenseLinear, CalderaLinear]
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int8Linear:
+    """Plain int8 row-quantized linear (for lm_head / embeddings at serve
+    time): ``W ~= scales * w8``. Served by the zero-unpack int8 MXU kernel."""
+
+    w8: Array                     # (out, in) int8
+    scales: Array                 # (out, 1) f32
+    b: Optional[Array] = None     # (out,)
+
+    @property
+    def shape(self):
+        return self.w8.shape
+
+    def materialize(self) -> Array:
+        return self.w8.astype(jnp.float32) * self.scales
+
+
+Linear = Union[DenseLinear, CalderaLinear, Int8Linear]
+
+
+def quantize_linear_int8(lin: DenseLinear) -> Int8Linear:
+    """Row-wise int8 quantization of a dense linear (e.g. the lm_head:
+    0.26 GB bf16 -> 0.13 GB for Llama-2-7B, ~1 ms/decode-step of HBM)."""
+    w8, scales = K.quantize_int8_rowwise(lin.w)
+    return Int8Linear(w8=w8, scales=scales, b=lin.b)
+
+
+def quantize_factors_int8(lin: CalderaLinear) -> CalderaLinear:
+    """Convert a CalderaLinear's bf16 L/R factors to int8 + per-row scales
+    (halves factor HBM traffic; works on flat or layer-stacked arrays)."""
+    if lin.L_scale is not None:
+        return lin
+    L8, Ls = K.quantize_int8_rowwise(lin.L)
+    R8, Rs = K.quantize_int8_rowwise(lin.R)
+    return dataclasses.replace(lin, L=L8, R=R8, L_scale=Ls, R_scale=Rs)
 
 
 def compress_linear(
@@ -150,6 +199,11 @@ def apply_linear(lin: Linear, x: Array, *, use_pallas: bool = False,
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x2.astype(jnp.bfloat16), lin.w.T.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
+    elif isinstance(lin, Int8Linear):
+        if use_pallas:
+            y = K.int8_matmul(x2, lin.w8, lin.scales, interpret=interpret)
+        else:
+            y = K.int8_matmul_xla(x2, lin.w8, lin.scales)
     elif lin.mode == "w4a8":
         if use_pallas:
             yq = K.quantized_matmul_w4a8(x2, lin.packed, lin.scales,
@@ -157,10 +211,16 @@ def apply_linear(lin: Linear, x: Array, *, use_pallas: bool = False,
         else:
             yq = K.quantized_matmul_w4a8_xla(x2, lin.packed, lin.scales,
                                              lin.num_bits)
-        xr = jnp.dot(x2.astype(jnp.bfloat16), lin.R.T,
-                     preferred_element_type=jnp.float32)
-        ylr = jnp.dot(xr.astype(jnp.bfloat16), lin.L.T,
-                      preferred_element_type=jnp.float32)
+        ylr = K.low_rank_matmul(x2, lin.L, lin.R, lin.L_scale, lin.R_scale)
+        y = (yq + ylr) * lin.global_scale
+    elif lin.L_scale is not None or lin.R_scale is not None:
+        if use_pallas:
+            yq = K.quantized_matmul(x2, lin.packed, lin.scales, lin.num_bits,
+                                    lin.group_size, interpret=interpret)
+        else:
+            yq = K.quantized_matmul_xla(x2, lin.packed, lin.scales,
+                                        lin.num_bits, lin.group_size)
+        ylr = K.low_rank_matmul(x2, lin.L, lin.R, lin.L_scale, lin.R_scale)
         y = (yq + ylr) * lin.global_scale
     else:
         y = K.fused_qlr_matmul(

@@ -1,0 +1,373 @@
+"""Fused-projection W4A8 decode path (qkv and gate/up in one kernel call).
+
+The stacked fast path (``models.stacked.decode_step_w4a8``) launches one
+Pallas kernel per projection — 7 launches and 7 dynamic activation
+quantizations per layer. q/k/v (and gate/up) share the same layer input, so
+their packed code matrices can be concatenated along the output dimension
+and served with ONE kernel call: 4 launches per layer, and the shared
+activation is quantized to int8 once per fused group. Measured per-call
+overhead is ~7 µs on the target chip, so this saves ~0.7-1 ms per 32-layer
+decode step (7-9% at the current 10 ms/step).
+
+Fusion rules that keep the math identical to the unfused path:
+
+- packed codes, row scales, and biases concatenate along the output
+  dimension (per-row quantities — each fused output row computes exactly
+  what it computed unfused);
+- the low-rank ``R`` factors concatenate along the rank axis — one
+  ``(B, sum_ranks)`` dot — while the ``L`` factors stay per-projection
+  (block-diagonal concatenation would read mostly zeros from HBM; measured
+  slower in round 1);
+- each projection's ``global_scale`` stays per-projection and is applied to
+  its output slice (folding it into scales/L would add an extra bf16
+  rounding of L for zero speedup — the slice multiply fuses away).
+
+The reference has no serving path at all (it materializes dense weights,
+reference ``main.py:197-199``); this module is pure TPU-serving design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
+from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+    CalderaLinear)
+from ee274_convexcaldera_llm_quantization_tpu.models import llama
+from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+    KVCache, QuantKVCache)
+from ee274_convexcaldera_llm_quantization_tpu.models.stacked import (
+    StackedModelParams)
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedW4A8Linear:
+    """Several same-input w4a8 :class:`CalderaLinear` projections fused
+    along the output dimension."""
+
+    packed: Array                  # (layers, sum_N, K/f) uint8
+    scales: Array                  # (layers, sum_N, 1) f32
+    R: Array                       # (layers, sum_ranks, K) bf16 | int8 codes
+    Ls: Tuple[Array, ...]          # per-projection (layers, N_i, r_i)
+    global_scale: Array            # (layers, n_proj) f32
+    b: Optional[Array] = None      # (layers, sum_N) or None
+    # int8 factor storage (quantize_factors_int8_fused); None => bf16
+    R_scale: Optional[Array] = None            # (layers, sum_ranks, 1)
+    L_scales: Optional[Tuple[Array, ...]] = None   # per-proj (layers, N_i, 1)
+    num_bits: int = dataclasses.field(default=4, metadata=dict(static=True))
+    splits: Tuple[int, ...] = dataclasses.field(default=(),
+                                                metadata=dict(static=True))
+    ranks: Tuple[int, ...] = dataclasses.field(default=(),
+                                               metadata=dict(static=True))
+
+
+class FusedLayerStack(NamedTuple):
+    attn_norm: Array               # (layers, hidden)
+    qkv: FusedW4A8Linear
+    o_proj: CalderaLinear          # stacked w4a8
+    mlp_norm: Array
+    gateup: FusedW4A8Linear
+    down_proj: CalderaLinear       # stacked w4a8
+
+
+class FusedStackedParams(NamedTuple):
+    embed: Array
+    layers: FusedLayerStack
+    final_norm: Array
+    lm_head: Optional[object]
+
+
+def _fuse_group(lins) -> FusedW4A8Linear:
+    """Fuse stacked w4a8 CalderaLinears sharing the same input."""
+    for lin in lins:
+        if not isinstance(lin, CalderaLinear) or lin.mode != "w4a8":
+            raise ValueError("fused path requires w4a8 CalderaLinear "
+                             f"projections, got {type(lin).__name__} "
+                             f"mode={getattr(lin, 'mode', None)}")
+    bits = {lin.num_bits for lin in lins}
+    if len(bits) != 1:
+        raise ValueError(f"fused projections must share num_bits, got {bits}")
+    packed = jnp.concatenate([lin.packed for lin in lins], axis=1)
+    scales = jnp.concatenate([lin.scales for lin in lins], axis=1)
+    # int8-factor inputs are dequantized before fusing; re-quantize the
+    # fused result with quantize_factors_int8_fused
+    facs = [lin.factors() for lin in lins]
+    R = jnp.concatenate([R_i for _, R_i in facs],
+                        axis=1).astype(jnp.bfloat16)
+    Ls = tuple(L_i.astype(jnp.bfloat16) for L_i, _ in facs)
+    gs = jnp.stack([lin.global_scale.reshape(-1) for lin in lins], axis=1)
+    if any(lin.b is not None for lin in lins):
+        b = jnp.concatenate(
+            [lin.b if lin.b is not None
+             else jnp.zeros(lin.packed.shape[:2], jnp.float32)
+             for lin in lins], axis=1)
+    else:
+        b = None
+    return FusedW4A8Linear(
+        packed=packed, scales=scales, R=R, Ls=Ls, global_scale=gs, b=b,
+        num_bits=lins[0].num_bits,
+        splits=tuple(lin.packed.shape[1] for lin in lins),
+        ranks=tuple(lin.R.shape[1] for lin in lins))
+
+
+def fuse_stacked(params: StackedModelParams) -> FusedStackedParams:
+    """Convert stacked w4a8 params to the fused-projection layout."""
+    lp = params.layers
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj"):
+        lin = getattr(lp, name)
+        if not isinstance(lin, CalderaLinear) or lin.mode != "w4a8":
+            raise ValueError(f"{name} must be a stacked w4a8 CalderaLinear")
+    layers = FusedLayerStack(
+        attn_norm=lp.attn_norm,
+        qkv=_fuse_group([lp.q_proj, lp.k_proj, lp.v_proj]),
+        o_proj=lp.o_proj,
+        mlp_norm=lp.mlp_norm,
+        gateup=_fuse_group([lp.gate_proj, lp.up_proj]),
+        down_proj=lp.down_proj)
+    return FusedStackedParams(embed=params.embed, layers=layers,
+                              final_norm=params.final_norm,
+                              lm_head=params.lm_head)
+
+
+def _quantize_fused_factors(fp: FusedW4A8Linear) -> FusedW4A8Linear:
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    if fp.R_scale is not None:
+        return fp
+    R8, Rs = Kr.quantize_int8_rowwise(fp.R)
+    pairs = [Kr.quantize_int8_rowwise(L) for L in fp.Ls]
+    return dataclasses.replace(
+        fp, R=R8, R_scale=Rs, Ls=tuple(c for c, _ in pairs),
+        L_scales=tuple(s for _, s in pairs))
+
+
+def quantize_factors_int8_fused(
+        params: FusedStackedParams,
+        lm_head_int8: bool = True) -> FusedStackedParams:
+    """int8-quantize all low-rank factors (and optionally the lm_head /
+    tied embedding output head) of a fused model: for Llama-2-7B rank-128
+    this cuts ~0.64 GB of bf16 factor reads to 0.32 GB and the head from
+    0.26 to 0.13 GB per decode step."""
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        DenseLinear, quantize_factors_int8, quantize_linear_int8)
+
+    lp = params.layers
+    layers = FusedLayerStack(
+        attn_norm=lp.attn_norm,
+        qkv=_quantize_fused_factors(lp.qkv),
+        o_proj=quantize_factors_int8(lp.o_proj),
+        mlp_norm=lp.mlp_norm,
+        gateup=_quantize_fused_factors(lp.gateup),
+        down_proj=quantize_factors_int8(lp.down_proj))
+    lm_head = params.lm_head
+    if lm_head_int8:
+        if lm_head is None:     # tied: materialize an int8 head from embed
+            lm_head = quantize_linear_int8(DenseLinear(w=params.embed))
+        elif isinstance(lm_head, DenseLinear):
+            lm_head = quantize_linear_int8(lm_head)
+    return FusedStackedParams(embed=params.embed, layers=layers,
+                              final_norm=params.final_norm, lm_head=lm_head)
+
+
+def _apply_fused(fp: FusedW4A8Linear, l: Array, y: Array, interpret: bool):
+    """One kernel call + per-projection low-rank adds; returns a tuple of
+    (B, N_i) outputs in fusion order."""
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    yq = Kr.quantized_matmul_w4a8_stacked(
+        y, fp.packed, fp.scales, l, fp.num_bits, interpret=interpret)
+    R_l = jax.lax.dynamic_index_in_dim(fp.R, l, 0, keepdims=False)
+    xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    if fp.R_scale is not None:
+        Rs_l = jax.lax.dynamic_index_in_dim(fp.R_scale, l, 0, keepdims=False)
+        xr = xr * Rs_l[:, 0][None, :]
+    gs_l = jax.lax.dynamic_index_in_dim(fp.global_scale, l, 0,
+                                        keepdims=False)
+    b_l = (None if fp.b is None
+           else jax.lax.dynamic_index_in_dim(fp.b, l, 0, keepdims=False))
+    outs = []
+    off_n = off_r = 0
+    for i, (N_i, r_i) in enumerate(zip(fp.splits, fp.ranks)):
+        L_l = jax.lax.dynamic_index_in_dim(fp.Ls[i], l, 0, keepdims=False)
+        ylr = jnp.dot(xr[:, off_r:off_r + r_i].astype(jnp.bfloat16),
+                      L_l.T.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        if fp.L_scales is not None:
+            Ls_l = jax.lax.dynamic_index_in_dim(fp.L_scales[i], l, 0,
+                                                keepdims=False)
+            ylr = ylr * Ls_l[:, 0][None, :]
+        out = (yq[:, off_n:off_n + N_i] + ylr) * gs_l[i]
+        if b_l is not None:
+            out = out + b_l[off_n:off_n + N_i][None, :]
+        outs.append(out)
+        off_n += N_i
+        off_r += r_i
+    return tuple(outs)
+
+
+def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool):
+    """Single stacked w4a8 projection (same math as stacked.decode qmm)."""
+    from ee274_convexcaldera_llm_quantization_tpu.models import stacked as st
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    yq = Kr.quantized_matmul_w4a8_stacked(
+        y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
+    ylr = st._low_rank_layer(lin, l, y)
+    gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0, keepdims=False)
+    out = (yq + ylr) * gs
+    if lin.b is not None:
+        out = out + jax.lax.dynamic_index_in_dim(lin.b, l, 0,
+                                                 keepdims=False)[None, :]
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
+                      cache, config: ModelConfig,
+                      interpret: bool = False):
+    """Batched decode step on the fused-projection W4A8 path.
+
+    4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
+    one int8 activation quantization per fused group. ``cache`` may be
+    bf16 :class:`KVCache` or int8 :class:`QuantKVCache`.
+    """
+    quant_kv = isinstance(cache, QuantKVCache)
+    B = tokens.shape[0]
+    T = cache.k.shape[2]
+    lp = params.layers
+    x = params.embed[tokens].astype(jnp.float32)
+    cos, sin = llama.rope_tables(config, pos[:, None])
+    valid = jnp.arange(T)[None, :] <= pos[:, None]
+    mask = jnp.where(valid, 0.0, -1e30)[:, None, None, None, :]
+    rows = jnp.arange(B)
+
+    def body(l, carry):
+        x, cache = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], an, config.rms_norm_eps)[:, 0]
+        q, k, v = _apply_fused(lp.qkv, l, y, interpret)
+        q = q.reshape(B, 1, config.num_heads, config.head_dim)
+        k = k.reshape(B, 1, config.num_kv_heads, config.head_dim)
+        v = v.reshape(B, 1, config.num_kv_heads, config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        if quant_kv:
+            kq, ksc = llama.quantize_kv(k[:, 0])
+            vq, vsc = llama.quantize_kv(v[:, 0])
+            cache = QuantKVCache(
+                cache.k.at[l, rows, pos].set(kq),
+                cache.v.at[l, rows, pos].set(vq),
+                cache.k_scale.at[l, rows, pos].set(ksc),
+                cache.v_scale.at[l, rows, pos].set(vsc))
+            attn = llama._attention_q8(
+                q,
+                jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.k_scale, l, 0,
+                                             keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v_scale, l, 0,
+                                             keepdims=False),
+                mask).reshape(B, config.q_dim)
+        else:
+            cache = KVCache(
+                cache.k.at[l, rows, pos].set(k[:, 0].astype(cache.k.dtype)),
+                cache.v.at[l, rows, pos].set(v[:, 0].astype(cache.v.dtype)))
+            ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
+            attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
+        x = x + _apply_plain(lp.o_proj, l, attn, interpret)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
+        gate, up = _apply_fused(lp.gateup, l, y, interpret)
+        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                             interpret)
+        return x, cache
+
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    logits = llama._logits(
+        x[:, None, :],
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits[:, 0, :], cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
+                            slot: Array, cache, config: ModelConfig,
+                            interpret: bool = False,
+                            last_pos: Optional[Array] = None):
+    """Prefill one (1, S) prompt into ``slot`` on the fused path."""
+    quant_kv = isinstance(cache, QuantKVCache)
+    S = tokens.shape[1]
+    lp = params.layers
+    x = params.embed[tokens[0]].astype(jnp.float32)
+    positions = jnp.arange(S)
+    cos, sin = llama.rope_tables(config, positions[None, :])
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
+
+    def body(l, carry):
+        x, cache = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], an, config.rms_norm_eps)[0]
+        q, k, v = _apply_fused(lp.qkv, l, y, interpret)
+        q = q.reshape(1, S, config.num_heads, config.head_dim)
+        k = k.reshape(1, S, config.num_kv_heads, config.head_dim)
+        v = v.reshape(1, S, config.num_kv_heads, config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        attn = llama._attention(q, k, v, mask).reshape(S, config.q_dim)
+        if quant_kv:
+            kq, ksc = llama.quantize_kv(k)
+            vq, vsc = llama.quantize_kv(v)
+            cache = QuantKVCache(
+                jax.lax.dynamic_update_slice(cache.k, kq[None],
+                                             (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v, vq[None],
+                                             (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.k_scale, ksc[None],
+                                             (l, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v_scale, vsc[None],
+                                             (l, slot, 0, 0)))
+        else:
+            cache = KVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, k.astype(cache.k.dtype)[None],
+                    (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, v.astype(cache.v.dtype)[None],
+                    (l, slot, 0, 0, 0)))
+        x = x + _apply_plain(lp.o_proj, l, attn, interpret)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
+        gate, up = _apply_fused(lp.gateup, l, y, interpret)
+        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                             interpret)
+        return x, cache
+
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    if last_pos is None:
+        x_last = x[-1:]
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, last_pos, 1, axis=0)
+    logits = llama._logits(
+        x_last[None],
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits[0, 0, :], cache

@@ -65,6 +65,44 @@ def stack_layers(params: ModelParams) -> StackedModelParams:
                               lm_head=params.lm_head)
 
 
+def _low_rank_layer(lin: CalderaLinear, l, y):
+    """Low-rank contribution ``y @ (L[l] @ R[l]).T`` for a stacked
+    CalderaLinear (bf16 or int8 factors)."""
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    idx = functools.partial(jax.lax.dynamic_index_in_dim, index=l, axis=0,
+                            keepdims=False)
+    return Kr.low_rank_matmul(
+        y, idx(lin.L), idx(lin.R),
+        None if lin.L_scale is None else idx(lin.L_scale),
+        None if lin.R_scale is None else idx(lin.R_scale))
+
+
+def quantize_model_factors_int8(params: StackedModelParams,
+                                lm_head_int8: bool = True
+                                ) -> StackedModelParams:
+    """int8-quantize the low-rank factors of every compressed projection
+    (and optionally the output head) of a stacked model. See
+    ``fused.quantize_factors_int8_fused`` for the fused-layout variant."""
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        quantize_factors_int8, quantize_linear_int8)
+
+    fields = {}
+    for name in LayerParams._fields:
+        lin = getattr(params.layers, name)
+        fields[name] = (quantize_factors_int8(lin)
+                        if isinstance(lin, CalderaLinear) else lin)
+    lm_head = params.lm_head
+    if lm_head_int8:
+        if lm_head is None:
+            lm_head = quantize_linear_int8(DenseLinear(w=params.embed))
+        elif isinstance(lm_head, DenseLinear):
+            lm_head = quantize_linear_int8(lm_head)
+    return StackedModelParams(embed=params.embed,
+                              layers=LayerParams(**fields),
+                              final_norm=params.final_norm, lm_head=lm_head)
+
+
 def _layer_body(x, lp: LayerParams, cos, sin, mask, ck, cv, pos,
                 config: ModelConfig, use_pallas: bool, interpret: bool,
                 rows=None):
@@ -188,12 +226,7 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
         # with scalar-prefetch Pallas kernels was measured SLOWER (11.3 vs
         # 10.3 ms/step on 7B) — 2 extra kernel launches per projection cost
         # more than the ~1 MB slice copies they avoid.
-        R_l = jax.lax.dynamic_index_in_dim(lin.R, l, 0, keepdims=False)
-        L_l = jax.lax.dynamic_index_in_dim(lin.L, l, 0, keepdims=False)
-        xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T,
-                     preferred_element_type=jnp.float32)
-        ylr = jnp.dot(xr.astype(jnp.bfloat16), L_l.T,
-                      preferred_element_type=jnp.float32)
+        ylr = _low_rank_layer(lin, l, y)
         gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0,
                                           keepdims=False)
         out = (yq + ylr) * gs
@@ -285,12 +318,7 @@ def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
     def qmm(lin, l, y):
         yq = Kr.quantized_matmul_w4a8_stacked(
             y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
-        R_l = jax.lax.dynamic_index_in_dim(lin.R, l, 0, keepdims=False)
-        L_l = jax.lax.dynamic_index_in_dim(lin.L, l, 0, keepdims=False)
-        xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T,
-                     preferred_element_type=jnp.float32)
-        ylr = jnp.dot(xr.astype(jnp.bfloat16), L_l.T,
-                      preferred_element_type=jnp.float32)
+        ylr = _low_rank_layer(lin, l, y)
         gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0,
                                           keepdims=False)
         out = (yq + ylr) * gs

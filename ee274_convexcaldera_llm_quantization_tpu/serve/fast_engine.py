@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
-from ee274_convexcaldera_llm_quantization_tpu.models import stacked
+from ee274_convexcaldera_llm_quantization_tpu.models import fused, stacked
 from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
     ServingEngine, _Slot)
 
@@ -25,19 +25,23 @@ from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
 class FastServingEngine(ServingEngine):
     """Continuous batching over the stacked W4A8 decode/prefill steps.
 
+    ``params`` may be a :class:`stacked.StackedModelParams` or the
+    fused-projection :class:`fused.FusedStackedParams` (qkv and gate/up in
+    one kernel call each — from ``fused.fuse_stacked``).
+
     ``kv_int8=True`` swaps the bf16 KV cache for the int8
     :class:`llama.QuantKVCache` — half the cache bandwidth (the decode
     bottleneck at long context) and double the context capacity, at the
     cost of per-(token, head) 8-bit rounding of K/V.
     """
 
-    def __init__(self, params: "stacked.StackedModelParams",
-                 config: ModelConfig, max_slots: int = 8,
+    def __init__(self, params, config: ModelConfig, max_slots: int = 8,
                  max_seq_len=None, interpret: bool = False, seed: int = 0,
                  kv_int8: bool = False):
         super().__init__(params, config, max_slots=max_slots,
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
+        self._fused = isinstance(params, fused.FusedStackedParams)
         if kv_int8:
             from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
                 QuantKVCache)
@@ -45,6 +49,8 @@ class FastServingEngine(ServingEngine):
                                              self.max_seq_len)
 
     def _admit(self) -> None:
+        prefill_fn = (fused.prefill_into_slot_fused if self._fused
+                      else stacked.prefill_into_slot_w4a8)
         while self.queue and self.free_slots:
             req = self.queue.popleft()
             slot = self.free_slots.pop()
@@ -52,7 +58,7 @@ class FastServingEngine(ServingEngine):
             bucket = min(self._bucket(n), self.max_seq_len)
             padded = np.zeros(bucket, np.int32)
             padded[:n] = req.prompt
-            logits, self.cache = stacked.prefill_into_slot_w4a8(
+            logits, self.cache = prefill_fn(
                 self.params, jnp.asarray(padded, jnp.int32)[None, :],
                 jnp.asarray(slot), self.cache, self.config,
                 interpret=self.interpret, last_pos=jnp.asarray(n - 1))
@@ -64,12 +70,14 @@ class FastServingEngine(ServingEngine):
             self._maybe_finish(slot)
 
     def _decode(self) -> None:
+        decode_fn = (fused.decode_step_fused if self._fused
+                     else stacked.decode_step_w4a8)
         tokens = np.zeros(self.max_slots, np.int32)
         pos = np.zeros(self.max_slots, np.int32)
         for s, st in self.slots.items():
             tokens[s] = st.generated[-1]
             pos[s] = st.pos
-        logits, self.cache = stacked.decode_step_w4a8(
+        logits, self.cache = decode_fn(
             self.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache,
             self.config, interpret=self.interpret)
         temps = np.zeros(self.max_slots, np.float32)
