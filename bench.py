@@ -134,12 +134,17 @@ def main():
                         choices=["w4a8", "grouped"],
                         help="serving kernel: int8-MXU (fast) or grouped "
                              "bf16 (max fidelity)")
-    parser.add_argument("--fused", action="store_true",
+    # The fast serving optimizations default ON (the headline config);
+    # --no-* flags isolate their individual contributions.
+    parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="fuse qkv and gate/up into single kernel calls "
                              "(w4a8 fast path only)")
-    parser.add_argument("--kv-int8", action="store_true",
+    parser.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="int8 KV cache (half cache bandwidth)")
-    parser.add_argument("--int8-factors", action="store_true",
+    parser.add_argument("--int8-factors",
+                        action=argparse.BooleanOptionalAction, default=True,
                         help="int8 low-rank factors + int8 lm_head "
                              "(halves factor/head HBM reads)")
     args = parser.parse_args()
@@ -167,9 +172,10 @@ def main():
     t0 = time.time()
     params = build_compressed_llama_params(config, args.bits, args.rank,
                                            mode=args.mode)
+    if args.mode != "w4a8":
+        # the fast-path optimizations apply to the w4a8 serving path only
+        args.fused = args.kv_int8 = args.int8_factors = False
     if args.fused:
-        if args.mode != "w4a8":
-            parser.error("--fused requires --mode w4a8")
         params = fusedm.fuse_stacked(params)
         if args.int8_factors:
             params = fusedm.quantize_factors_int8_fused(params)

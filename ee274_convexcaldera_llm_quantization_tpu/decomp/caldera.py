@@ -64,6 +64,14 @@ class CalderaParams:
         default_factory=lambda: QuantizerFactory(block_size="global"))
     rand_svd: bool = False
     sigma_reg: float = 0.0
+    # Q-update rule: "rtn" is the reference's plain round-to-nearest on the
+    # residual (``alg.py:253-283``); "ldlq" adds GPTQ/QuIP-style sequential
+    # error feedback through the Hessian (a known weakness of the reference
+    # algorithm — its Q update ignores H entirely). LDLQ uses per-row
+    # uniform scales (finer than the reference's single global scale) and
+    # reduces the activation-aware error whenever H is correlated; with
+    # H = I it reduces exactly to per-row RTN.
+    q_update: str = "rtn"
 
 
 @dataclasses.dataclass
@@ -93,9 +101,22 @@ class CalderaDecomposition:
         16-bit (unquantized) factors.
         """
         out = {}
-        q = params.quant_factory_Q.get_quantizer(params.Q_bits)
-        qt = q.quantize(self.Q)
-        out["Q"] = (qt.codes, qt.scale)
+        if params.q_update == "ldlq":
+            # LDLQ quantizes on a per-row uniform grid (the w4a8 serving
+            # layout); re-derive codes on that grid. Exact whenever a row's
+            # max-magnitude code survived the sweep, else off by one scale
+            # quantum.
+            maxq = 2 ** (params.Q_bits - 1) - 1
+            absmax = jnp.maximum(jnp.max(jnp.abs(self.Q), axis=1,
+                                         keepdims=True), 1e-12)
+            scale = absmax / maxq
+            codes = jnp.clip(jnp.round(self.Q / scale), -maxq,
+                             maxq).astype(jnp.int8)
+            out["Q"] = (codes, scale)
+        else:
+            q = params.quant_factory_Q.get_quantizer(params.Q_bits)
+            qt = q.quantize(self.Q)
+            out["Q"] = (qt.codes, qt.scale)
         for name, mat, bits in (("L", self.L.T, params.L_bits),
                                 ("R", self.R, params.R_bits)):
             if bits >= 16:
@@ -170,6 +191,62 @@ def _update_Q(params: CalderaParams, W: Array, L: Array, R: Array) -> Array:
     return _quantize_qd(residual, params.Q_bits, params.quant_factory_Q)
 
 
+def ldlq_precompute(H: Array) -> Array:
+    """Upper-triangular ``U`` with ``U^T U = H^{-1}`` for :func:`ldlq_quantize`.
+
+    Computed once per layer (it does not change across CALDERA iterations).
+    ``H`` is regularized by a small multiple of its mean diagonal so the
+    Cholesky succeeds on rank-deficient calibration Hessians.
+    """
+    n = H.shape[0]
+    d = jnp.mean(jnp.diag(H))
+    Hr = H + (1e-6 * d + 1e-12) * jnp.eye(n, dtype=H.dtype)
+    Lc = jnp.linalg.cholesky(Hr)
+    Hinv = jax.scipy.linalg.cho_solve((Lc, True), jnp.eye(n, dtype=H.dtype))
+    Hinv = (Hinv + Hinv.T) / 2
+    return jnp.linalg.cholesky(Hinv).T
+
+
+def ldlq_quantize(A: Array, U: Array, bits: int) -> Array:
+    """Sequential error-feedback quantization (GPTQ/LDLQ column sweep).
+
+    Minimizes ``tr((A - Q) H (A - Q)^T)`` greedily: column ``i`` is rounded
+    to the per-row uniform grid and its rounding error is propagated into
+    the not-yet-quantized columns through ``U`` (from :func:`ldlq_precompute`).
+    The reference's Q update is plain RTN that ignores H entirely
+    (``alg.py:253-283``); with ``H = I`` this reduces exactly to per-row RTN.
+
+    Scales are per-row absmax of ``A`` (fixed before the sweep — error
+    feedback can push values past the original absmax, so codes are
+    clipped). Per-row scales match the w4a8 serving layout
+    (``ops.kernels.pack_rowscale``), so packing the result is lossless.
+    """
+    m, n = A.shape
+    maxq = 2 ** (bits - 1) - 1
+    absmax = jnp.maximum(jnp.max(jnp.abs(A), axis=1, keepdims=True), 1e-12)
+    scale = absmax / maxq                                     # (m, 1)
+    cols = jnp.arange(n)
+
+    def body(carry, i):
+        Awork, Q = carry
+        w = jax.lax.dynamic_index_in_dim(Awork, i, 1, keepdims=False)
+        q = jnp.clip(jnp.round(w / scale[:, 0]), -maxq, maxq) * scale[:, 0]
+        err = (w - q) / U[i, i]
+        row = jnp.where(cols > i, U[i], 0.0)                  # future cols
+        Awork = Awork - err[:, None] * row[None, :]
+        Q = Q.at[:, i].set(q)
+        return (Awork, Q), None
+
+    (_, Q), _ = jax.lax.scan(body, (A, jnp.zeros_like(A)), cols)
+    return Q
+
+
+def _update_Q_ldlq(params: CalderaParams, W: Array, L: Array, R: Array,
+                   U: Array) -> Array:
+    residual = W - L @ R if params.compute_low_rank_factors else W
+    return ldlq_quantize(residual, U, params.Q_bits)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "identity_hessian"),
@@ -208,6 +285,13 @@ def caldera_solve(
     R0 = jnp.zeros((params.rank, n), jnp.float32)
     n_upd = len(params.update_order)
 
+    if params.q_update == "ldlq":
+        # U is iteration-invariant: one Cholesky pair per layer.
+        U_ldlq = (jnp.eye(n, dtype=jnp.float32) if identity_hessian
+                  else ldlq_precompute(H))
+    elif params.q_update != "rtn":
+        raise ValueError(f"unknown q_update {params.q_update!r}")
+
     def outer(i, carry):
         Q, L, R, bestQ, bestL, bestR, min_err, errors, key = carry
         for j, mtx in enumerate(params.update_order):
@@ -215,7 +299,10 @@ def caldera_solve(
             if mtx == "LR" and params.compute_low_rank_factors:
                 L, R = _update_LR(params, W - Q, H_sqrt, eigH, sub)
             elif mtx == "Q" and params.compute_quantized_component:
-                Q = _update_Q(params, W, L, R)
+                if params.q_update == "ldlq":
+                    Q = _update_Q_ldlq(params, W, L, R, U_ldlq)
+                else:
+                    Q = _update_Q(params, W, L, R)
             err = _aa_error(W, H, Q + L @ R)
             errors = errors.at[i, j].set(err)
             # All components must have been updated at least once before a
