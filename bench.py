@@ -147,6 +147,11 @@ def main():
                         action=argparse.BooleanOptionalAction, default=True,
                         help="int8 low-rank factors + int8 lm_head "
                              "(halves factor/head HBM reads)")
+    parser.add_argument("--flash-attn",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="flash decode-attention Pallas kernel over a "
+                             "head-major int8 KV cache (fused path only; "
+                             "implies --kv-int8)")
     args = parser.parse_args()
 
     import jax
@@ -175,6 +180,7 @@ def main():
     if args.mode != "w4a8":
         # the fast-path optimizations apply to the w4a8 serving path only
         args.fused = args.kv_int8 = args.int8_factors = False
+        args.flash_attn = False
     if args.fused:
         params = fusedm.fuse_stacked(params)
         if args.int8_factors:
@@ -184,7 +190,12 @@ def main():
     jax.block_until_ready(params.embed)
     print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
-    if args.kv_int8:
+    if args.flash_attn and not (args.fused and use_pallas):
+        args.flash_attn = False      # kernel path needs fused params + TPU
+    if args.flash_attn:
+        cache = llama.HeadMajorQuantKVCache.create(config, args.batch,
+                                                   args.context)
+    elif args.kv_int8:
         cache = llama.QuantKVCache.create(config, args.batch, args.context)
     else:
         cache = llama.KVCache.create(config, args.batch, args.context)
@@ -256,7 +267,8 @@ def main():
     vs = tok_per_s / roofline_tok_per_s
 
     variant = ("-fused" if args.fused else "") + \
-        ("-kv8" if args.kv_int8 else "") + \
+        ("-flash" if args.flash_attn else
+         ("-kv8" if args.kv_int8 else "")) + \
         ("-f8" if args.int8_factors else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "

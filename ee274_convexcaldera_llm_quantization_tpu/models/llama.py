@@ -86,6 +86,31 @@ class QuantKVCache(NamedTuple):
                             jnp.zeros(shape[:-1], jnp.float32))
 
 
+class HeadMajorQuantKVCache(NamedTuple):
+    """int8 KV cache in head-major layout for the flash decode kernel.
+
+    Layout ``(L, B, KVH, T, D)`` (vs :class:`QuantKVCache`'s token-major
+    ``(L, B, T, KVH, D)``): each (batch, kv-head) attention stream is a
+    contiguous ``(T, D)`` slab, so the flash kernel's per-block DMA reads
+    are contiguous instead of strided across heads. Scales are
+    per-(token, head) as in :class:`QuantKVCache`.
+    """
+    k: Array                       # (L, B, KVH, T, D) int8
+    v: Array                       # (L, B, KVH, T, D) int8
+    k_scale: Array                 # (L, B, KVH, T) f32
+    v_scale: Array                 # (L, B, KVH, T) f32
+
+    @staticmethod
+    def create(config: ModelConfig, batch: int,
+               max_len: int) -> "HeadMajorQuantKVCache":
+        shape = (config.num_layers, batch, config.num_kv_heads, max_len,
+                 config.head_dim)
+        return HeadMajorQuantKVCache(jnp.zeros(shape, jnp.int8),
+                                     jnp.zeros(shape, jnp.int8),
+                                     jnp.zeros(shape[:-1], jnp.float32),
+                                     jnp.zeros(shape[:-1], jnp.float32))
+
+
 def quantize_kv(x: Array) -> Tuple[Array, Array]:
     """Symmetric int8 quantization over the trailing head_dim axis.
 

@@ -1,0 +1,181 @@
+"""Flash decode attention over a head-major int8 KV cache (Pallas).
+
+The reference has no serving path at all (it materializes dense weights and
+calls stock HF ``model.generate``, reference ``main.py:197-199,358``); this
+kernel is pure TPU-serving design for the framework's decode engine.
+
+Why a custom kernel: the XLA decode-attention path
+(``models.llama._attention_q8``) slices the current layer's ``(B, T, KVH, D)``
+KV out of the stacked cache and materializes ``(B, KVH, G, 1, T)`` f32
+logits/probabilities in HBM every layer. At long context the KV reads are
+the decode bottleneck, and the token-major layout means each (batch, head)
+stream is strided across tokens. This kernel:
+
+- keeps the cache **head-major** ``(L, B, KVH, T, D)`` so each grid step
+  DMAs one contiguous ``(block_t, D)`` int8 slab per (batch, kv-head);
+- selects the layer via scalar-prefetch BlockSpec indexing — the caller
+  never slices (never copies) the stacked cache;
+- runs an online-softmax (flash) accumulation in VMEM scratch, so logits
+  and probabilities never touch HBM;
+- folds the per-(token, head) int8 scales into the logits (K side) and
+  probabilities (V side), so the int8 slabs feed the dots directly —
+  the dequantized cache is never materialized (same math as
+  ``llama._attention_q8``).
+
+Every kernel has an XLA twin (``flash_decode_q8_xla``) used for equivalence
+tests and as the CPU/interpret fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
+                            vs_ref, o_ref, m_ref, s_ref, acc_ref, *,
+                            block_t: int, scale: float):
+    """Grid (B, T/block_t); each program attends ALL kv heads of one batch
+    row against one token block (so the per-(token, head) scale blocks are
+    full (KVH, block_t) tiles — Mosaic forbids second-minor blocks of 1).
+    T is the innermost 'arbitrary' axis so the VMEM scratch (m, s, acc)
+    carries the online-softmax state across the token blocks of one row."""
+    del l_ref
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                      # (KVH, G, D) f32
+    k = k_ref[0, 0].astype(jnp.float32)               # (KVH, block_t, D)
+    ks = ks_ref[0, 0]                                 # (KVH, block_t) f32
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # (KVH, G, block_t)
+    logits = logits * (ks * scale)[:, None, :]
+
+    tok = t * block_t + jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, 2)
+    valid = tok <= pos_ref[b]
+    logits = jnp.where(valid, logits, _NEG_INF)
+
+    m_prev = m_ref[:, :, :1]                          # (KVH, G, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    # guard: a fully-masked block leaves m_new at the -inf sentinel and
+    # logits - m_new == 0 -> exp == 1; zero those probabilities explicitly
+    p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)  # (KVH, G, block_t)
+    s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+
+    v = v_ref[0, 0].astype(jnp.float32)               # (KVH, block_t, D)
+    vs = vs_ref[0, 0]                                 # (KVH, block_t)
+    pv = p * vs[:, None, :]
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # (KVH, G, D)
+
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(t == nt - 1)
+    def _fin():
+        o_ref[0] = acc_ref[:] / s_ref[:, :, :1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_t", "interpret"))
+def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
+                    layer: Array, pos: Array, block_t: int = 256,
+                    interpret: bool = False) -> Array:
+    """Single-token flash attention against layer ``layer`` of a stacked
+    head-major int8 KV cache.
+
+    Args:
+      q: (B, KVH, G, D) f32 — rotated queries, GQA group-major
+         (head ``h`` = ``kvh * G + g``, matching ``llama._attention``).
+      k, v: (L, B, KVH, T, D) int8 stacked cache.
+      ks, vs: (L, B, KVH, T) f32 per-(token, head) symmetric scales.
+      layer: () int32 — layer to attend in (scalar-prefetch indexed; the
+        stacked cache is never sliced).
+      pos: (B,) int32 — index of the newest valid token per row (tokens at
+        positions > pos[b] are masked).
+
+    Returns (B, KVH, G, D) f32 attention outputs.
+    """
+    B, KVH, G, D = q.shape
+    T = k.shape[3]
+    block_t = min(block_t, T)
+    while T % block_t:
+        block_t //= 2
+    scale = 1.0 / (D ** 0.5)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T // block_t),
+        in_specs=[
+            pl.BlockSpec((1, KVH, G, D), lambda b, t, L, P: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, block_t, D),
+                         lambda b, t, L, P: (L[0], b, 0, t, 0)),
+            pl.BlockSpec((1, 1, KVH, block_t),
+                         lambda b, t, L, P: (L[0], b, 0, t)),
+            pl.BlockSpec((1, 1, KVH, block_t, D),
+                         lambda b, t, L, P: (L[0], b, 0, t, 0)),
+            pl.BlockSpec((1, 1, KVH, block_t),
+                         lambda b, t, L, P: (L[0], b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, KVH, G, D),
+                               lambda b, t, L, P: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, G, 128), jnp.float32),   # running max
+            pltpu.VMEM((KVH, G, 128), jnp.float32),   # running sum
+            pltpu.VMEM((KVH, G, D), jnp.float32),     # output accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_q8_kernel, block_t=block_t,
+                          scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(pos, jnp.int32),
+      q.astype(jnp.float32), k, ks.astype(jnp.float32),
+      v, vs.astype(jnp.float32))
+    return out
+
+
+@functools.partial(jax.jit)
+def flash_decode_q8_xla(q: Array, k: Array, v: Array, ks: Array, vs: Array,
+                        layer: Array, pos: Array) -> Array:
+    """XLA twin of :func:`flash_decode_q8` (head-major int8 cache, exact
+    softmax) for equivalence tests and the CPU fallback path."""
+    B, KVH, G, D = q.shape
+    kl = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+    ksl = jax.lax.dynamic_index_in_dim(ks, layer, 0, keepdims=False)
+    vsl = jax.lax.dynamic_index_in_dim(vs, layer, 0, keepdims=False)
+    T = kl.shape[2]
+    logits = jnp.einsum("bhgd,bhtd->bhgt", q.astype(jnp.float32),
+                        kl.astype(jnp.float32))
+    logits = logits * (ksl[:, :, None, :] / jnp.sqrt(jnp.float32(D)))
+    valid = jnp.arange(T)[None, None, None, :] <= pos[:, None, None, None]
+    logits = jnp.where(valid, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs * vsl[:, :, None, :]
+    return jnp.einsum("bhgt,bhtd->bhgd", pv, vl.astype(jnp.float32))

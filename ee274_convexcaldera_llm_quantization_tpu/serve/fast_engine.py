@@ -33,16 +33,29 @@ class FastServingEngine(ServingEngine):
     :class:`llama.QuantKVCache` — half the cache bandwidth (the decode
     bottleneck at long context) and double the context capacity, at the
     cost of per-(token, head) 8-bit rounding of K/V.
+
+    ``flash_attn=True`` (fused params only) uses the head-major int8 cache
+    and the flash decode-attention Pallas kernel
+    (``ops.attention.flash_decode_q8``): online softmax in VMEM, contiguous
+    per-(batch, head) cache DMA, no materialized logits. Implies int8 KV.
     """
 
     def __init__(self, params, config: ModelConfig, max_slots: int = 8,
                  max_seq_len=None, interpret: bool = False, seed: int = 0,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, flash_attn: bool = False):
         super().__init__(params, config, max_slots=max_slots,
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
         self._fused = isinstance(params, fused.FusedStackedParams)
-        if kv_int8:
+        if flash_attn:
+            if not self._fused:
+                raise ValueError("flash_attn requires fused params "
+                                 "(fused.fuse_stacked)")
+            from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+                HeadMajorQuantKVCache)
+            self.cache = HeadMajorQuantKVCache.create(config, max_slots,
+                                                      self.max_seq_len)
+        elif kv_int8:
             from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
                 QuantKVCache)
             self.cache = QuantKVCache.create(config, max_slots,

@@ -1,0 +1,222 @@
+"""Flash decode attention: Pallas kernel vs XLA twin, head-major layout
+equivalence vs the token-major int8 attention, and fused-path integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ee274_convexcaldera_llm_quantization_tpu.models import fused as fusedm
+from ee274_convexcaldera_llm_quantization_tpu.models import llama
+from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+from ee274_convexcaldera_llm_quantization_tpu.ops import attention as AT
+
+
+def _random_cache(key, L, B, KVH, T, D):
+    ks = jax.random.split(key, 4)
+    k = jax.random.randint(ks[0], (L, B, KVH, T, D), -127, 128, jnp.int32)
+    v = jax.random.randint(ks[1], (L, B, KVH, T, D), -127, 128, jnp.int32)
+    ksc = jax.random.uniform(ks[2], (L, B, KVH, T), jnp.float32, 0.001, 0.02)
+    vsc = jax.random.uniform(ks[3], (L, B, KVH, T), jnp.float32, 0.001, 0.02)
+    return (k.astype(jnp.int8), v.astype(jnp.int8), ksc, vsc)
+
+
+class TestFlashDecodeKernel:
+    @pytest.mark.parametrize("B,KVH,G,D,T", [
+        (2, 2, 1, 32, 64),      # MHA
+        (2, 2, 2, 32, 64),      # GQA
+        (1, 1, 4, 128, 256),    # wide group, full lanes
+    ])
+    def test_kernel_matches_xla_twin(self, B, KVH, G, D, T):
+        L = 3
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, KVH, G, D),
+                              jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(1), L, B, KVH, T, D)
+        pos = jnp.asarray(
+            np.random.default_rng(2).integers(0, T, size=B), jnp.int32)
+        layer = jnp.asarray(1, jnp.int32)
+        ref = AT.flash_decode_q8_xla(q, k, v, ksc, vsc, layer, pos)
+        out = AT.flash_decode_q8(q, k, v, ksc, vsc, layer, pos,
+                                 block_t=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_single_block_and_uneven_blocks(self):
+        # block_t > T collapses to one block; T not divisible halves block_t
+        B, KVH, G, D, T = 1, 2, 1, 32, 48
+        q = jax.random.normal(jax.random.PRNGKey(3), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(4), 2, B, KVH, T, D)
+        pos = jnp.asarray([T - 1], jnp.int32)
+        layer = jnp.asarray(0, jnp.int32)
+        ref = AT.flash_decode_q8_xla(q, k, v, ksc, vsc, layer, pos)
+        for bt in (256, 24):
+            out = AT.flash_decode_q8(q, k, v, ksc, vsc, layer, pos,
+                                     block_t=bt, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_pos_zero_attends_only_first_token(self):
+        # with pos=0 the output must be exactly v[0] dequantized
+        B, KVH, G, D, T = 1, 1, 1, 32, 64
+        q = jax.random.normal(jax.random.PRNGKey(5), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(6), 1, B, KVH, T, D)
+        out = AT.flash_decode_q8(q, k, v, ksc, vsc, jnp.asarray(0),
+                                 jnp.asarray([0], jnp.int32),
+                                 block_t=16, interpret=True)
+        expect = (v[0, 0, 0, 0].astype(np.float32)
+                  * float(vsc[0, 0, 0, 0]))
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expect,
+                                   rtol=1e-6)
+
+    def test_layer_selection(self):
+        # answers must come from the requested layer of the stacked cache
+        B, KVH, G, D, T = 1, 1, 1, 32, 32
+        q = jax.random.normal(jax.random.PRNGKey(7), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(8), 4, B, KVH, T, D)
+        pos = jnp.asarray([T - 1], jnp.int32)
+        outs = [np.asarray(AT.flash_decode_q8(
+            q, k, v, ksc, vsc, jnp.asarray(i), pos, interpret=True))
+            for i in range(4)]
+        refs = [np.asarray(AT.flash_decode_q8_xla(
+            q, k, v, ksc, vsc, jnp.asarray(i), pos)) for i in range(4)]
+        for o, r in zip(outs, refs):
+            np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-6)
+        assert not np.allclose(outs[0], outs[1])
+
+    def test_xla_twin_matches_token_major_attention(self):
+        # head-major attention == llama._attention_q8 on the same data
+        B, KVH, G, D, T = 2, 2, 2, 16, 8
+        H = KVH * G
+        q = jax.random.normal(jax.random.PRNGKey(9), (B, 1, H, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(10), 1, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([3, T - 1], jnp.int32)
+        mask = jnp.where(jnp.arange(T)[None, :] <= pos[:, None], 0.0,
+                         -1e30)[:, None, None, None, :]
+        ref = llama._attention_q8(
+            q, k[0].transpose(0, 2, 1, 3), v[0].transpose(0, 2, 1, 3),
+            ksc[0].transpose(0, 2, 1), vsc[0].transpose(0, 2, 1),
+            mask).reshape(B, H, D)
+        out = AT.flash_decode_q8_xla(
+            q[:, 0].reshape(B, KVH, G, D), k, v, ksc, vsc,
+            jnp.asarray(0), pos).reshape(B, H, D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+
+@pytest.fixture(scope="module")
+def fused_params():
+    from ee274_convexcaldera_llm_quantization_tpu.models import stacked
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        CalderaLinear, compress_linear)
+    from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+        compress_model)
+    from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+        CalderaParams)
+
+    params = llama.init_params(jax.random.PRNGKey(0), TINY)
+    cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=8, iters=1,
+                       lplr_iters=1)
+    qparams, _ = compress_model(params, cp)
+
+    def convert(lp):
+        fields = {}
+        for name in llama.LayerParams._fields:
+            lin = getattr(lp, name)
+            if isinstance(lin, CalderaLinear):
+                W = (lin.materialize() / lin.global_scale
+                     - lin.L.astype(jnp.float32) @ lin.R.astype(jnp.float32))
+                fields[name] = compress_linear(
+                    W, lin.L.astype(jnp.float32), lin.R.astype(jnp.float32),
+                    lin.num_bits, global_scale=float(lin.global_scale),
+                    bias=lin.b, mode="w4a8")
+            else:
+                fields[name] = lin
+        return llama.LayerParams(**fields)
+
+    model = llama.ModelParams(embed=qparams.embed,
+                              layers=[convert(lp) for lp in qparams.layers],
+                              final_norm=qparams.final_norm,
+                              lm_head=qparams.lm_head)
+    return fusedm.fuse_stacked(stacked.stack_layers(model))
+
+
+class TestFusedHeadMajor:
+    def test_decode_matches_token_major_cache(self, fused_params):
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        ctm = llama.QuantKVCache.create(TINY, 2, 16)
+        chm = llama.HeadMajorQuantKVCache.create(TINY, 2, 16)
+        ltm, ctm = fusedm.decode_step_fused(fused_params, toks, pos, ctm,
+                                            TINY, interpret=True)
+        lhm, chm = fusedm.decode_step_fused(fused_params, toks, pos, chm,
+                                            TINY, interpret=True)
+        assert isinstance(chm, llama.HeadMajorQuantKVCache)
+        np.testing.assert_allclose(np.asarray(lhm), np.asarray(ltm),
+                                   rtol=2e-4, atol=2e-5)
+        # cache contents identical modulo layout transpose
+        np.testing.assert_array_equal(
+            np.asarray(chm.k), np.asarray(ctm.k).transpose(0, 1, 3, 2, 4))
+        np.testing.assert_allclose(
+            np.asarray(chm.k_scale),
+            np.asarray(ctm.k_scale).transpose(0, 1, 3, 2))
+
+    def test_prefill_matches_token_major_cache(self, fused_params):
+        toks = jax.random.randint(jax.random.PRNGKey(5), (1, 8), 0,
+                                  TINY.vocab_size)
+        ctm = llama.QuantKVCache.create(TINY, 2, 16)
+        chm = llama.HeadMajorQuantKVCache.create(TINY, 2, 16)
+        ltm, ctm = fusedm.prefill_into_slot_fused(
+            fused_params, toks, jnp.asarray(1), ctm, TINY, interpret=True)
+        lhm, chm = fusedm.prefill_into_slot_fused(
+            fused_params, toks, jnp.asarray(1), chm, TINY, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ltm), np.asarray(lhm))
+        np.testing.assert_array_equal(
+            np.asarray(chm.v), np.asarray(ctm.v).transpose(0, 1, 3, 2, 4))
+
+    def test_prefill_then_decode_generation(self, fused_params):
+        toks = jax.random.randint(jax.random.PRNGKey(7), (1, 6), 0,
+                                  TINY.vocab_size)
+        seqs = {}
+        for name, cache in [
+                ("tm", llama.QuantKVCache.create(TINY, 1, 16)),
+                ("hm", llama.HeadMajorQuantKVCache.create(TINY, 1, 16))]:
+            logits, cache = fusedm.prefill_into_slot_fused(
+                fused_params, toks, jnp.asarray(0), cache, TINY,
+                interpret=True)
+            out = [int(jnp.argmax(logits))]
+            pos = 6
+            for _ in range(3):
+                logits, cache = fusedm.decode_step_fused(
+                    fused_params, jnp.asarray([out[-1]], jnp.int32),
+                    jnp.asarray([pos], jnp.int32), cache, TINY,
+                    interpret=True)
+                out.append(int(jnp.argmax(logits[0])))
+                pos += 1
+            seqs[name] = out
+        assert seqs["hm"] == seqs["tm"]
+
+    def test_fast_engine_flash_attn(self, fused_params):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+            Request)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(0, TINY.vocab_size, size=5),
+                   rng.integers(0, TINY.vocab_size, size=9)]
+        eng = FastServingEngine(fused_params, TINY, max_slots=2,
+                                max_seq_len=32, interpret=True,
+                                flash_attn=True)
+        assert isinstance(eng.cache, llama.HeadMajorQuantKVCache)
+        for uid, p in enumerate(prompts):
+            eng.submit(Request(uid=uid, prompt=p, max_new_tokens=5))
+        done = eng.run()
+        assert sorted(c.uid for c in done) == [0, 1]
+        assert all(len(c.tokens) == 5 for c in done)
+
+    def test_fast_engine_flash_requires_fused(self):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        with pytest.raises(ValueError, match="flash_attn"):
+            FastServingEngine(object(), TINY, max_slots=2, max_seq_len=16,
+                              flash_attn=True)
