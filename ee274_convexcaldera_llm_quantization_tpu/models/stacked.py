@@ -189,12 +189,26 @@ def decode_step_batched(params: StackedModelParams, tokens: Array,
     return logits[:, 0, :], KVCache(ks, vs)
 
 
+def _row_out(out: Array, lin, tp_axis: Optional[str]) -> Array:
+    """Complete a row-parallel (input-feature-sharded) projection under
+    tensor parallelism: each shard's ``out`` is a partial product over its
+    K-range; ``psum`` over the tp axis finishes the contraction. A bias
+    would have been added per shard (``tp``-times total), so row-parallel
+    projections must be bias-free (Llama o/down projections are)."""
+    if tp_axis is None:
+        return out
+    if lin.b is not None:
+        raise ValueError("row-parallel projection cannot carry a bias")
+    return jax.lax.psum(out, tp_axis)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret"),
+                   static_argnames=("config", "interpret", "tp_axis"),
                    donate_argnames=("cache",))
 def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
                      cache: KVCache, config: ModelConfig,
-                     interpret: bool = False) -> Tuple[Array, KVCache]:
+                     interpret: bool = False,
+                     tp_axis: Optional[str] = None) -> Tuple[Array, KVCache]:
     """Fast decode: fori_loop over layers with scalar-prefetch weight access.
 
     Requires every projection to be a stacked w4a8 :class:`CalderaLinear`.
@@ -271,11 +285,11 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
             ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
             attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
-        x = x + qmm(lp.o_proj, l, attn)
+        x = x + _row_out(qmm(lp.o_proj, l, attn), lp.o_proj, tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         h = jax.nn.silu(qmm(lp.gate_proj, l, y)) * qmm(lp.up_proj, l, y)
-        x = x + qmm(lp.down_proj, l, h)
+        x = x + _row_out(qmm(lp.down_proj, l, h), lp.down_proj, tp_axis)
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
@@ -288,12 +302,13 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret"),
+                   static_argnames=("config", "interpret", "tp_axis"),
                    donate_argnames=("cache",))
 def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
                            slot: Array, cache: KVCache, config: ModelConfig,
                            interpret: bool = False,
-                           last_pos: Optional[Array] = None
+                           last_pos: Optional[Array] = None,
+                           tp_axis: Optional[str] = None
                            ) -> Tuple[Array, KVCache]:
     """Prefill one prompt (1, S) into slot ``slot`` via the fast w4a8 path.
 
@@ -360,11 +375,11 @@ def prefill_into_slot_w4a8(params: StackedModelParams, tokens: Array,
                 jax.lax.dynamic_update_slice(
                     cache.v, v.astype(cache.v.dtype)[None],
                     (l, slot, 0, 0, 0)))
-        x = x + qmm(lp.o_proj, l, attn)
+        x = x + _row_out(qmm(lp.o_proj, l, attn), lp.o_proj, tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         h = jax.nn.silu(qmm(lp.gate_proj, l, y)) * qmm(lp.up_proj, l, y)
-        x = x + qmm(lp.down_proj, l, h)
+        x = x + _row_out(qmm(lp.down_proj, l, h), lp.down_proj, tp_axis)
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))

@@ -1,0 +1,186 @@
+"""Whole-model tensor-parallel decode/prefill: exactness of the row-parallel
+repack, equivalence vs single-device, and generation consistency on the
+8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from ee274_convexcaldera_llm_quantization_tpu.models import llama, stacked
+from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+    CalderaLinear, compress_linear)
+from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+    compress_model)
+from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+    CalderaParams)
+from ee274_convexcaldera_llm_quantization_tpu.parallel import tp_decode as TP
+
+
+def _pack_plane_major(codes, num_bits):
+    """w4a8 serving byte layout (kernels.pack_rowscale, stacked arrays)."""
+    f = 8 // num_bits
+    *lead, K = codes.shape
+    planes = codes.reshape(*lead, f, K // f).astype(jnp.uint8)
+    packed = jnp.zeros((*lead, K // f), jnp.uint8)
+    for p in range(f):
+        packed = packed | (planes[..., p, :] << (num_bits * (f - 1 - p)))
+    return packed
+
+
+def _unpack_plane_major(packed, num_bits):
+    f = 8 // num_bits
+    mask = (1 << num_bits) - 1
+    return jnp.concatenate(
+        [(packed.astype(jnp.int32) >> (num_bits * (f - 1 - p))) & mask
+         for p in range(f)], axis=-1)
+
+
+@pytest.fixture(scope="module")
+def w4a8_model():
+    params = llama.init_params(jax.random.PRNGKey(0), TINY)
+    cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=8, iters=1,
+                       lplr_iters=1)
+    qparams, _ = compress_model(params, cp)
+
+    def convert(lp):
+        fields = {}
+        for name in llama.LayerParams._fields:
+            lin = getattr(lp, name)
+            if isinstance(lin, CalderaLinear):
+                W = (lin.materialize() / lin.global_scale
+                     - lin.L.astype(jnp.float32) @ lin.R.astype(jnp.float32))
+                fields[name] = compress_linear(
+                    W, lin.L.astype(jnp.float32), lin.R.astype(jnp.float32),
+                    lin.num_bits, global_scale=float(lin.global_scale),
+                    bias=lin.b, mode="w4a8")
+            else:
+                fields[name] = lin
+        return llama.LayerParams(**fields)
+
+    model = llama.ModelParams(embed=qparams.embed,
+                              layers=[convert(lp) for lp in qparams.layers],
+                              final_norm=qparams.final_norm,
+                              lm_head=qparams.lm_head)
+    return stacked.stack_layers(model)
+
+
+@pytest.fixture(scope="module")
+def mesh2():
+    return Mesh(np.asarray(jax.devices()[:2]), ("tp",))
+
+
+class TestRepack:
+    @pytest.mark.parametrize("num_bits,shards", [(4, 2), (4, 4), (2, 2),
+                                                 (8, 2)])
+    def test_repack_is_exact(self, num_bits, shards):
+        # dequantized local shards must equal the dense K-slices exactly
+        L, N, K = 2, 8, 64
+        maxq = 2 ** (num_bits - 1) - 1
+        codes = jax.random.randint(jax.random.PRNGKey(0), (L, N, K), 0,
+                                   2 * maxq + 1)
+        packed = _pack_plane_major(codes, num_bits)
+        re = TP.repack_row_parallel_stacked(packed, num_bits, shards)
+        ks, nb = K // shards, K * num_bits // 8 // shards
+        for s in range(shards):
+            local = _unpack_plane_major(re[..., s * nb:(s + 1) * nb],
+                                        num_bits)
+            np.testing.assert_array_equal(
+                np.asarray(local), np.asarray(codes[..., s * ks:(s + 1) * ks]))
+
+    def test_rejects_indivisible(self):
+        packed = jnp.zeros((1, 4, 6), jnp.uint8)    # K=12 at 4-bit
+        with pytest.raises(ValueError, match="not divisible"):
+            TP.repack_row_parallel_stacked(packed, 4, 5)
+
+
+class TestTPDecode:
+    def test_decode_matches_single_device(self, w4a8_model, mesh2):
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        ref, _ = stacked.decode_step_w4a8(
+            w4a8_model, toks, pos, llama.KVCache.create(TINY, 2, 16), TINY,
+            interpret=True)
+        tp_params = TP.shard_stacked_model_tp(w4a8_model, mesh2)
+        tp_cache = TP.shard_kv_cache_tp(llama.KVCache.create(TINY, 2, 16),
+                                        mesh2)
+        out, tp_cache = TP.decode_step_w4a8_tp(
+            tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
+        assert out.shape == ref.shape
+        # weights are bit-identical; only the per-shard int8 activation
+        # absmax differs from the full-row absmax
+        rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+               / np.linalg.norm(np.asarray(ref)))
+        assert rel < 0.05, rel
+
+    def test_decode_cache_matches_single_device(self, w4a8_model, mesh2):
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        _, cref = stacked.decode_step_w4a8(
+            w4a8_model, toks, pos, llama.KVCache.create(TINY, 2, 16), TINY,
+            interpret=True)
+        tp_params = TP.shard_stacked_model_tp(w4a8_model, mesh2)
+        tp_cache = TP.shard_kv_cache_tp(llama.KVCache.create(TINY, 2, 16),
+                                        mesh2)
+        _, tp_cache = TP.decode_step_w4a8_tp(
+            tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
+        ref = np.asarray(cref.k, np.float32)
+        got = np.asarray(jax.device_get(tp_cache.k), np.float32)
+        rel = (np.linalg.norm(got - ref)
+               / max(np.linalg.norm(ref), 1e-9))
+        assert rel < 0.05, rel
+
+    def test_prefill_then_decode_generation(self, w4a8_model, mesh2):
+        toks = jax.random.randint(jax.random.PRNGKey(7), (1, 6), 0,
+                                  TINY.vocab_size)
+        # single-device reference sequence
+        cache = llama.KVCache.create(TINY, 1, 16)
+        logits, cache = stacked.prefill_into_slot_w4a8(
+            w4a8_model, toks, jnp.asarray(0), cache, TINY, interpret=True)
+        ref_seq = [int(jnp.argmax(logits))]
+        pos = 6
+        for _ in range(3):
+            logits, cache = stacked.decode_step_w4a8(
+                w4a8_model, jnp.asarray([ref_seq[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache, TINY, interpret=True)
+            ref_seq.append(int(jnp.argmax(logits[0])))
+            pos += 1
+        # TP sequence
+        tp_params = TP.shard_stacked_model_tp(w4a8_model, mesh2)
+        tp_cache = TP.shard_kv_cache_tp(llama.KVCache.create(TINY, 1, 16),
+                                        mesh2)
+        logits, tp_cache = TP.prefill_into_slot_w4a8_tp(
+            tp_params, toks, jnp.asarray(0), tp_cache, TINY, mesh2,
+            interpret=True)
+        tp_seq = [int(jnp.argmax(logits))]
+        pos = 6
+        for _ in range(3):
+            logits, tp_cache = TP.decode_step_w4a8_tp(
+                tp_params, jnp.asarray([tp_seq[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), tp_cache, TINY, mesh2,
+                interpret=True)
+            tp_seq.append(int(jnp.argmax(logits[0])))
+            pos += 1
+        assert tp_seq == ref_seq
+
+    def test_quant_kv_cache(self, w4a8_model, mesh2):
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([0, 0], jnp.int32)
+        tp_params = TP.shard_stacked_model_tp(w4a8_model, mesh2)
+        tp_cache = TP.shard_kv_cache_tp(
+            llama.QuantKVCache.create(TINY, 2, 16), mesh2)
+        out, tp_cache = TP.decode_step_w4a8_tp(
+            tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
+        assert out.shape == (2, TINY.vocab_size)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_rejects_indivisible_heads(self, w4a8_model):
+        mesh3 = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("tp",))
+        with pytest.raises(ValueError, match="not divisible"):
+            TP.decode_step_w4a8_tp(
+                w4a8_model, jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+                llama.KVCache.create(TINY, 1, 16), TINY, mesh3,
+                interpret=True)
