@@ -176,6 +176,43 @@ class TestTPDecode:
         assert out.shape == (2, TINY.vocab_size)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_tp_engine_generates(self, w4a8_model, mesh2):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+            Request)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.tp_engine import (
+            TPServingEngine)
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(0, TINY.vocab_size, size=5),
+                   rng.integers(0, TINY.vocab_size, size=9)]
+        eng = TPServingEngine(w4a8_model, TINY, mesh2, max_slots=2,
+                              max_seq_len=32, interpret=True)
+        for uid, p in enumerate(prompts):
+            eng.submit(Request(uid=uid, prompt=p, max_new_tokens=5))
+        done = eng.run()
+        assert sorted(c.uid for c in done) == [0, 1]
+        assert all(len(c.tokens) == 5 for c in done)
+
+    def test_tp_engine_matches_fast_engine(self, w4a8_model, mesh2):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+            Request)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.tp_engine import (
+            TPServingEngine)
+        rng = np.random.default_rng(6)
+        prompt = rng.integers(0, TINY.vocab_size, size=7)
+        outs = {}
+        for name, eng in [
+                ("fast", FastServingEngine(w4a8_model, TINY, max_slots=1,
+                                           max_seq_len=32, interpret=True)),
+                ("tp", TPServingEngine(w4a8_model, TINY, mesh2, max_slots=1,
+                                       max_seq_len=32, interpret=True))]:
+            eng.submit(Request(uid=0, prompt=prompt, max_new_tokens=4))
+            outs[name] = eng.run()[0].tokens
+        # weights bit-identical; per-shard activation absmax may flip a
+        # near-tie argmax, but on this seed the greedy paths agree
+        assert outs["tp"] == outs["fast"]
+
     def test_rejects_indivisible_heads(self, w4a8_model):
         mesh3 = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("tp",))
         with pytest.raises(ValueError, match="not divisible"):
