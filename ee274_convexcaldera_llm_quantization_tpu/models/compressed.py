@@ -128,7 +128,73 @@ class Int8Linear:
         return self.w8.astype(jnp.float32) * self.scales
 
 
-Linear = Union[DenseLinear, CalderaLinear, Int8Linear]
+def ste_quantize(W: Array, num_bits: int,
+                 group_size: Optional[int] = None) -> Array:
+    """Fake-quantize with a straight-through gradient estimator.
+
+    Forward: symmetric absmax quantize-dequantize at ``num_bits`` —
+    per-row when ``group_size`` is None (the w4a8 serving scheme,
+    ``kernels.pack_rowscale``) or per-(row, group) (``pack_for_serving``).
+    Backward: identity (``W + stop_grad(quant(W) - W)``); symmetric absmax
+    never clips, so no gradient gating is needed. Used by QAT — the
+    reference exposes an ``apply_qat`` flag but never implements training
+    (reference ``convex_caldera.py:52``).
+    """
+    maxq = 2 ** (num_bits - 1) - 1
+    Wf = W.astype(jnp.float32)
+    if group_size is None:
+        g = Wf
+    else:
+        N, Kin = Wf.shape
+        if Kin % group_size:
+            raise ValueError(f"K={Kin} not divisible by group {group_size}")
+        g = Wf.reshape(N, Kin // group_size, group_size)
+    absmax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-8)
+    scale = absmax / maxq
+    q = jnp.clip(jnp.round(g / scale), -maxq, maxq) * scale
+    q = q.reshape(Wf.shape)
+    return Wf + jax.lax.stop_gradient(q - Wf)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QATLinear:
+    """Trainable fake-quantized CALDERA linear for QAT fine-tuning.
+
+    ``W ~= global_scale * (ste_quantize(Wq) + L @ R)`` with a dense f32
+    latent ``Wq`` re-quantized every forward pass (straight-through
+    gradients), and f32 low-rank factors trained directly. Convert from/to
+    the packed serving form with ``models.qat.prepare_qat_model`` /
+    ``finalize_qat_model`` — the fake-quant grid matches the serving
+    packers exactly, so finalizing is lossless.
+    """
+
+    Wq: Array                     # (out, in) f32 latent quantized component
+    L: Array                      # (out, rank) f32
+    R: Array                      # (rank, in) f32
+    global_scale: Array           # () f32
+    b: Optional[Array] = None     # (out,)
+    num_bits: int = dataclasses.field(default=4, metadata=dict(static=True))
+    group_size: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))   # None => per-row
+    mode: str = dataclasses.field(default="w4a8",
+                                  metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return self.Wq.shape
+
+    def effective_weight(self) -> Array:
+        """Dense f32 weight the QAT forward pass sees."""
+        q = ste_quantize(self.Wq, self.num_bits, self.group_size)
+        return jax.lax.stop_gradient(self.global_scale) * (
+            q + self.L @ self.R)
+
+    def materialize(self) -> Array:
+        return self.effective_weight()
+
+
+Linear = Union[DenseLinear, CalderaLinear, Int8Linear, QATLinear]
 
 
 def quantize_linear_int8(lin: DenseLinear) -> Int8Linear:
@@ -198,6 +264,10 @@ def apply_linear(lin: Linear, x: Array, *, use_pallas: bool = False,
     x2 = x.reshape(-1, shape[-1])
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x2.astype(jnp.bfloat16), lin.w.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    elif isinstance(lin, QATLinear):
+        # f32 dot: QAT runs at calibration time, fidelity over speed
+        y = jnp.dot(x2.astype(jnp.float32), lin.effective_weight().T,
                     preferred_element_type=jnp.float32)
     elif isinstance(lin, Int8Linear):
         if use_pallas:
