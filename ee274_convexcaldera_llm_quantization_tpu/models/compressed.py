@@ -194,7 +194,44 @@ class QATLinear:
         return self.effective_weight()
 
 
-Linear = Union[DenseLinear, CalderaLinear, Int8Linear, QATLinear]
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RotatedLinear:
+    """A CalderaLinear served in a Hadamard-rotated basis.
+
+    ``W = H1 @ W' @ H2`` with orthonormal symmetric Hadamard rotations on
+    the power-of-two sides (``rot_out`` for H1 / output features,
+    ``rot_in`` for H2 / input features); ``inner`` stores the bit-packed
+    ``W'``. Forward: ``y = H1 (W' (H2 x)) + b`` — the activation rotation
+    runs as O(n log n) FWHT butterflies at serve time, so the incoherence-
+    processed basis (which spreads weight outliers and helps 2-bit
+    quantization) stays packed. The reference's Hadamard path can only
+    materialize dense weights (``main.py:221-240``); runtime-rotated
+    serving is new here. Bias lives outside the rotation.
+    """
+
+    inner: CalderaLinear
+    b: Optional[Array] = None
+    rot_in: bool = dataclasses.field(default=True,
+                                     metadata=dict(static=True))
+    rot_out: bool = dataclasses.field(default=True,
+                                      metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def materialize(self) -> Array:
+        W = self.inner.materialize().astype(jnp.float32)
+        if self.rot_out:
+            W = K.fwht(W, axis=0) / jnp.sqrt(jnp.float32(W.shape[0]))
+        if self.rot_in:
+            W = K.fwht(W, axis=1) / jnp.sqrt(jnp.float32(W.shape[1]))
+        return W
+
+
+Linear = Union[DenseLinear, CalderaLinear, Int8Linear, QATLinear,
+               RotatedLinear]
 
 
 def quantize_linear_int8(lin: DenseLinear) -> Int8Linear:
@@ -269,6 +306,17 @@ def apply_linear(lin: Linear, x: Array, *, use_pallas: bool = False,
         # f32 dot: QAT runs at calibration time, fidelity over speed
         y = jnp.dot(x2.astype(jnp.float32), lin.effective_weight().T,
                     preferred_element_type=jnp.float32)
+    elif isinstance(lin, RotatedLinear):
+        u = x2.astype(jnp.float32)
+        if lin.rot_in:
+            u = K.fwht(u, axis=-1) / jnp.sqrt(jnp.float32(u.shape[-1]))
+        y = apply_linear(lin.inner, u, use_pallas=use_pallas,
+                         interpret=interpret)
+        if lin.rot_out:
+            y = K.fwht(y, axis=-1) / jnp.sqrt(jnp.float32(y.shape[-1]))
+        if lin.b is not None:
+            y = y + lin.b[None, :]
+        return y.reshape(*shape[:-1], y.shape[-1])
     elif isinstance(lin, Int8Linear):
         if use_pallas:
             y = K.int8_matmul(x2, lin.w8, lin.scales, interpret=interpret)

@@ -70,6 +70,76 @@ def caldera_with_hadamard(
     return W_hat, err
 
 
+def _rotate_hessian(H: Optional[jnp.ndarray], n: int) -> Optional[jnp.ndarray]:
+    """``H' = H2 H H2`` for the orthonormal Hadamard H2 (inputs to the
+    rotated weight are ``H2 x``)."""
+    if H is None:
+        return None
+    H = jnp.asarray(H, jnp.float32)
+    if H.ndim == 1:
+        H = jnp.diag(H)
+    Hr = _K.fwht(_K.fwht(H, axis=0), axis=1) / jnp.float32(n)
+    return (Hr + Hr.T) / 2
+
+
+def compress_linear_rotated(
+    caldera_params: CalderaParams,
+    W: jnp.ndarray,
+    H: Optional[jnp.ndarray] = None,
+    serving_bits: Optional[int] = None,
+    serving_mode: str = "grouped",
+    bias: Optional[jnp.ndarray] = None,
+):
+    """CALDERA in a Hadamard-rotated basis, packed for SERVABLE rotated
+    inference (:class:`compressed.RotatedLinear`).
+
+    Unlike :func:`caldera_with_hadamard` (the reference-equivalent path
+    that must materialize dense weights, ``main.py:221-240``), this keeps
+    the rotated ``Q' + L'R'`` bit-packed and rotates *activations* at run
+    time with O(n log n) FWHTs. Each side is rotated only if its dimension
+    is a power of two (no padding: for Llama-2, q/k/v/o rotate both sides,
+    gate/up input-only, down output-only — the input side, which drives
+    activation-aware quantization, is the one that matters).
+
+    Returns ``(RotatedLinear, relative_error)`` with the error measured in
+    the original basis (orthonormal rotations preserve Frobenius norms).
+
+    Measured caveat (see PERFORMANCE.md): with the absmax-uniform serving
+    quantizers and the activation-aware CALDERA solver, rotation does not
+    reduce reconstruction error on synthetic outlier/heavy-tail regimes —
+    incoherence processing pays off with distribution-matched codebook /
+    lattice quantizers (QuIP#-style), which is future work. The value here
+    is the serving capability: the rotated basis stays bit-packed where
+    the reference must materialize dense weights.
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        RotatedLinear)
+
+    m, n = W.shape
+    rot_out = (m & (m - 1)) == 0
+    rot_in = (n & (n - 1)) == 0
+    Wf = W.astype(jnp.float32)
+    Wr = Wf
+    if rot_out:
+        Wr = _K.fwht(Wr, axis=0) / jnp.sqrt(jnp.float32(m))
+    if rot_in:
+        Wr = _K.fwht(Wr, axis=1) / jnp.sqrt(jnp.float32(n))
+    Hr = _rotate_hessian(H, n) if rot_in else H
+    decomp = caldera(caldera_params, Wr, H=Hr, scale_W=False)
+    if caldera_params.compute_quantized_component:
+        q_src = Wr / decomp.global_scale - decomp.L @ decomp.R
+    else:
+        q_src = decomp.Q
+    inner = compress_linear(q_src, decomp.L, decomp.R,
+                            serving_bits or caldera_params.Q_bits,
+                            global_scale=decomp.global_scale,
+                            mode=serving_mode)
+    rl = RotatedLinear(inner=inner, b=bias, rot_in=rot_in, rot_out=rot_out)
+    err = float(jnp.linalg.norm(rl.materialize() - Wf)
+                / jnp.linalg.norm(Wf))
+    return rl, err
+
+
 @dataclasses.dataclass
 class SurgeryReport:
     """Per-layer compression outcomes."""
@@ -95,7 +165,7 @@ def compress_model(
     min_dim: int = 0,
     serving_bits: Optional[int] = None,
     serving_mode: str = "grouped",
-    use_hadamard: bool = False,
+    use_hadamard=False,    # False | True (dense, reference-like) | "servable"
     progress: Optional[Callable[[str, float], None]] = None,
 ) -> Tuple[ModelParams, SurgeryReport]:
     """Compress the selected projections of a model.
@@ -135,6 +205,28 @@ def compress_model(
             H = None
             if hessians is not None and name in hessians:
                 H = jnp.asarray(np.asarray(hessians[name]), jnp.float32)
+            if use_hadamard == "servable":
+                # Rotated basis kept bit-packed; activations rotate at run
+                # time (compressed.RotatedLinear) — see
+                # ``compress_linear_rotated``.
+                rl, err = compress_linear_rotated(
+                    caldera_params, W, H=H, serving_bits=sbits,
+                    serving_mode=serving_mode, bias=lin.b)
+                report.errors[name] = err
+                if progress is not None:
+                    progress(name, err)
+                if err > error_threshold:
+                    report.skipped.append(name)
+                    fields[proj] = lin
+                    report.total_bits += m * n * 16
+                else:
+                    report.compressed.append(name)
+                    fields[proj] = rl
+                    rank = rl.inner.L.shape[1]
+                    report.total_bits += (m * n * sbits
+                                          + rank * (m + n) * 16)
+                report.total_params += m * n
+                continue
             if use_hadamard:
                 # Reference's incoherence path (``main.py:75-133``): the
                 # rotated basis is not servable without runtime activation
