@@ -39,6 +39,8 @@ class Request:
     max_new_tokens: int = 64
     temperature: float = 0.0            # 0 => greedy
     eos_token: Optional[int] = None
+    priority: int = 0                   # higher admits first (paged engine)
+    tenant: int = 0                     # fair-share accounting id
 
 
 @dataclasses.dataclass

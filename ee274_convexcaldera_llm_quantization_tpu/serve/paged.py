@@ -12,7 +12,7 @@ copies KV data and context capacity is bounded by the pool, not by
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,12 +54,19 @@ def paged_decode_step(
     config: ModelConfig,
     use_pallas: bool = False,
     interpret: bool = False,
+    active: Optional[Array] = None,   # (B,) bool; False slots write nothing
 ) -> Tuple[Array, PagedKVPool]:
     """One decode step over the paged pool.
 
     Each slot writes its K/V into page ``page_tables[b, pos // P]`` at
     offset ``pos % P``, then attends over its gathered logical context
     ``page_tables -> (max_pages * P)`` with positions ``> pos`` masked.
+
+    ``active`` masks the K/V WRITES of unused batch slots: a zero-filled
+    page-table row would otherwise scatter that slot's garbage K/V into
+    page 0 — which may be another sequence's live (possibly prefix-shared)
+    page. Inactive writes are routed out of bounds, which JAX scatter
+    semantics drop.
     """
     B = tokens.shape[0]
     P = pool.page_size
@@ -74,6 +81,9 @@ def paged_decode_step(
                             interpret=interpret)
     write_page = jnp.take_along_axis(page_tables, (pos // P)[:, None],
                                      axis=1)[:, 0]               # (B,)
+    if active is not None:
+        num_pages = pool.k.shape[1]
+        write_page = jnp.where(active, write_page, num_pages)  # OOB: dropped
     write_off = pos % P
 
     ks, vs = [], []
@@ -149,6 +159,72 @@ def paged_prefill(
             k[0].astype(pool.k.dtype))
         cv = pool.v[i].at[tok_pages, tok_offs].set(
             v[0].astype(pool.v.dtype))
+        x = x + lin(lp.o_proj, attn)
+        y = llama.rms_norm(x, lp.mlp_norm, config.rms_norm_eps)
+        x = x + lin(lp.down_proj,
+                    jax.nn.silu(lin(lp.gate_proj, y)) * lin(lp.up_proj, y))
+        ks.append(ck)
+        vs.append(cv)
+    logits = llama._logits(x[:, -1:, :], params, config, use_pallas,
+                           interpret)
+    return logits[0, 0, :], PagedKVPool(jnp.stack(ks), jnp.stack(vs))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "use_pallas", "interpret"))
+def paged_prefill_suffix(
+    params: llama.ModelParams,
+    tokens: Array,          # (1, Sq) UNcached suffix of the prompt
+    cached_len: Array,      # () tokens already in the pool (page-aligned)
+    pool: PagedKVPool,
+    page_table: Array,      # (max_pages,) this sequence's pages
+    config: ModelConfig,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Tuple[Array, PagedKVPool]:
+    """Prefill only the uncached suffix of a prompt (prefix-cache hit).
+
+    The first ``cached_len`` tokens' K/V already sit in the sequence's
+    shared pages (written by an earlier identical prefix — the native
+    allocator guarantees shared pages are full and never rewritten).
+    Suffix queries attend over the gathered paged context (prefix + the
+    suffix itself), with positions beyond each query masked. Compute drops
+    from O(S^2) to O(Sq * S): a hit on a long shared system prompt skips
+    almost the whole prefill.
+    """
+    Sq = tokens.shape[1]
+    P = pool.page_size
+    max_pages = page_table.shape[0]
+    T = max_pages * P
+    x = params.embed[tokens].astype(jnp.float32)
+    pos_abs = cached_len + jnp.arange(Sq)                   # (Sq,)
+    cos, sin = llama.rope_tables(config, pos_abs[None, :])
+    valid = jnp.arange(T)[None, :] <= pos_abs[:, None]      # (Sq, T)
+    mask = jnp.where(valid, 0.0, -1e30)[None, None, None, :, :]
+    lin = functools.partial(apply_linear, use_pallas=use_pallas,
+                            interpret=interpret)
+    tok_pages = page_table[pos_abs // P]
+    tok_offs = pos_abs % P
+
+    ks, vs = [], []
+    for i, lp in enumerate(params.layers):
+        y = llama.rms_norm(x, lp.attn_norm, config.rms_norm_eps)
+        q = lin(lp.q_proj, y).reshape(1, Sq, config.num_heads,
+                                      config.head_dim)
+        k = lin(lp.k_proj, y).reshape(1, Sq, config.num_kv_heads,
+                                      config.head_dim)
+        v = lin(lp.v_proj, y).reshape(1, Sq, config.num_kv_heads,
+                                      config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        ck = pool.k[i].at[tok_pages, tok_offs].set(k[0].astype(pool.k.dtype))
+        cv = pool.v[i].at[tok_pages, tok_offs].set(v[0].astype(pool.v.dtype))
+        k_ctx = ck[page_table].reshape(1, T, config.num_kv_heads,
+                                       config.head_dim)
+        v_ctx = cv[page_table].reshape(1, T, config.num_kv_heads,
+                                       config.head_dim)
+        attn = llama._attention(q, k_ctx, v_ctx, mask).reshape(
+            1, Sq, config.q_dim)
         x = x + lin(lp.o_proj, attn)
         y = llama.rms_norm(x, lp.mlp_norm, config.rms_norm_eps)
         x = x + lin(lp.down_proj,

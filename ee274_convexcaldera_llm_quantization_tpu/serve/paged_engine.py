@@ -29,7 +29,7 @@ class PagedServingEngine:
                  num_pages: int = 256, page_size: int = 16,
                  max_pages_per_seq: Optional[int] = None,
                  use_pallas: bool = False, interpret: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, prefix_cache: bool = False):
         self.params = params
         self.config = config
         self.max_slots = max_slots
@@ -41,6 +41,7 @@ class PagedServingEngine:
         self.sched = NativeScheduler(max_slots, self.allocator)
         self.use_pallas = use_pallas
         self.interpret = interpret
+        self.prefix_cache = prefix_cache
         self._key = jax.random.PRNGKey(seed)
         self._requests: Dict[int, Request] = {}
         self._slot_of: Dict[int, int] = {}
@@ -62,7 +63,9 @@ class PagedServingEngine:
                 f"request {req.uid} needs {need} pages > pool size "
                 f"{self.allocator.num_pages}")
         self._requests[req.uid] = req
-        self.sched.submit(req.uid, len(req.prompt), req.max_new_tokens)
+        self.sched.submit(req.uid, len(req.prompt), req.max_new_tokens,
+                          priority=getattr(req, "priority", 0),
+                          tenant=getattr(req, "tenant", 0))
 
     def run(self) -> List[Completion]:
         while self.sched.queue_len or self.sched.active_count:
@@ -78,14 +81,28 @@ class PagedServingEngine:
         return done
 
     def step(self) -> None:
-        for uid, slot in self.sched.admit():
+        for uid, slot in self.sched.admit(create_seqs=not self.prefix_cache):
             req = self._requests[uid]
             self._slot_of[uid] = slot
             self._start[uid] = time.time()
+            cached = 0
+            if self.prefix_cache:
+                # native radix/prefix cache: page-aligned prompt prefixes
+                # already in the pool are shared; prefill only the suffix
+                cached = self.allocator.create_seq_cached(
+                    uid, np.asarray(req.prompt, np.int32))
             pt = self._padded_table(uid)
-            logits, self.pool = paged.paged_prefill(
-                self.params, jnp.asarray(req.prompt, jnp.int32)[None, :],
-                self.pool, pt, self.config, self.use_pallas, self.interpret)
+            if cached > 0:
+                logits, self.pool = paged.paged_prefill_suffix(
+                    self.params,
+                    jnp.asarray(req.prompt[cached:], jnp.int32)[None, :],
+                    jnp.asarray(cached, jnp.int32), self.pool, pt,
+                    self.config, self.use_pallas, self.interpret)
+            else:
+                logits, self.pool = paged.paged_prefill(
+                    self.params, jnp.asarray(req.prompt, jnp.int32)[None, :],
+                    self.pool, pt, self.config, self.use_pallas,
+                    self.interpret)
             tok = int(jnp.argmax(logits))
             self._record(uid, tok)
         if not self._slot_of:
@@ -117,10 +134,13 @@ class PagedServingEngine:
             s = self._slot_of[uid]
             pt = self.allocator.page_table(uid, self.max_pages)
             tables[s, :len(pt)] = pt
+        active = np.zeros(B, bool)
+        for uid in uids:
+            active[self._slot_of[uid]] = True
         logits, self.pool = paged.paged_decode_step(
             self.params, jnp.asarray(tokens), jnp.asarray(pos), self.pool,
             jnp.asarray(tables), self.config, self.use_pallas,
-            self.interpret)
+            self.interpret, active=jnp.asarray(active))
         sampled = np.asarray(jnp.argmax(logits, axis=-1))
         for uid in uids:
             req = self._requests[uid]

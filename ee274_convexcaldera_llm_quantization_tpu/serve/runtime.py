@@ -40,11 +40,15 @@ def load_library() -> ctypes.CDLL:
         c_i32 = ctypes.c_int32
         c_p = ctypes.c_void_p
         pi32 = ctypes.POINTER(c_i32)
+        c_i64 = ctypes.c_int64
+        pi64 = ctypes.POINTER(c_i64)
         sigs = {
             "ccq_alloc_create": ([c_i32, c_i32], c_p),
             "ccq_alloc_destroy": ([c_p], None),
             "ccq_alloc_free_pages": ([c_p], c_i32),
             "ccq_seq_create": ([c_p, c_i32, c_i32], c_i32),
+            "ccq_seq_create_cached": ([c_p, c_i32, pi32, c_i32], c_i32),
+            "ccq_alloc_cache_stats": ([c_p, pi64, pi64], None),
             "ccq_seq_append": ([c_p, c_i32], c_i32),
             "ccq_seq_length": ([c_p, c_i32], c_i32),
             "ccq_seq_page_table": ([c_p, c_i32, pi32, c_i32], c_i32),
@@ -52,9 +56,13 @@ def load_library() -> ctypes.CDLL:
             "ccq_sched_create": ([c_i32], c_p),
             "ccq_sched_destroy": ([c_p], None),
             "ccq_sched_submit": ([c_p, c_i32, c_i32, c_i32], None),
+            "ccq_sched_submit_pri": ([c_p, c_i32, c_i32, c_i32, c_i32,
+                                      c_i32], None),
             "ccq_sched_queue_len": ([c_p], c_i32),
             "ccq_sched_active_count": ([c_p], c_i32),
             "ccq_sched_admit": ([c_p, c_p, pi32, pi32, c_i32], c_i32),
+            "ccq_sched_admit_nocreate": ([c_p, c_p, pi32, pi32, c_i32],
+                                         c_i32),
             "ccq_sched_record_token": ([c_p, c_p, c_i32, c_i32], c_i32),
             "ccq_sched_finish": ([c_p, c_p, c_i32], c_i32),
         }
@@ -86,6 +94,34 @@ class PageAllocator:
 
     def create_seq(self, seq_id: int, prompt_len: int) -> bool:
         return self._lib.ccq_seq_create(self._ptr, seq_id, prompt_len) == 0
+
+    def create_seq_cached(self, seq_id: int, tokens: np.ndarray) -> int:
+        """Create a sequence with prefix-cache reuse.
+
+        Page-aligned prompt prefixes seen before share their KV pages
+        (refcounted, never rewritten). Returns the number of prompt tokens
+        whose KV is already in the pool — the caller prefills only the
+        remainder. Raises on OOM / duplicate id.
+        """
+        toks = np.ascontiguousarray(tokens, np.int32)
+        r = self._lib.ccq_seq_create_cached(
+            self._ptr, seq_id,
+            toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(toks))
+        if r == -1:
+            raise MemoryError("KV page pool exhausted")
+        if r == -2:
+            raise KeyError(f"duplicate sequence {seq_id}")
+        return r
+
+    @property
+    def cache_stats(self) -> Tuple[int, int]:
+        """(tokens served from prefix cache, tokens eligible)."""
+        hits = ctypes.c_int64()
+        lookups = ctypes.c_int64()
+        self._lib.ccq_alloc_cache_stats(self._ptr, ctypes.byref(hits),
+                                        ctypes.byref(lookups))
+        return hits.value, lookups.value
 
     def append(self, seq_id: int) -> int:
         """Append a token; returns the page index (raises on OOM)."""
@@ -128,9 +164,16 @@ class NativeScheduler:
             self._lib.ccq_sched_destroy(self._ptr)
             self._ptr = None
 
-    def submit(self, uid: int, prompt_len: int, max_new_tokens: int) -> None:
-        self._lib.ccq_sched_submit(self._ptr, uid, prompt_len,
-                                   max_new_tokens)
+    def submit(self, uid: int, prompt_len: int, max_new_tokens: int,
+               priority: int = 0, tenant: int = 0) -> None:
+        """Queue a request. Admission order: priority desc, then tenants
+        with fewer generated tokens (fair share), then FIFO age."""
+        if priority or tenant:
+            self._lib.ccq_sched_submit_pri(self._ptr, uid, prompt_len,
+                                           max_new_tokens, priority, tenant)
+        else:
+            self._lib.ccq_sched_submit(self._ptr, uid, prompt_len,
+                                       max_new_tokens)
 
     @property
     def queue_len(self) -> int:
@@ -140,16 +183,19 @@ class NativeScheduler:
     def active_count(self) -> int:
         return self._lib.ccq_sched_active_count(self._ptr)
 
-    def admit(self) -> List[Tuple[int, int]]:
+    def admit(self, create_seqs: bool = True) -> List[Tuple[int, int]]:
         """Admit as many queued requests as slots/pages allow.
-        Returns [(uid, slot), ...]."""
+        Returns [(uid, slot), ...]. With ``create_seqs=False`` the caller
+        must create each allocator sequence itself (e.g. with
+        ``PageAllocator.create_seq_cached`` for prefix reuse)."""
         uids = np.zeros(self.max_slots, np.int32)
         slots = np.zeros(self.max_slots, np.int32)
-        n = self._lib.ccq_sched_admit(
-            self._ptr, self.allocator._ptr,
-            uids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            self.max_slots)
+        fn = (self._lib.ccq_sched_admit if create_seqs
+              else self._lib.ccq_sched_admit_nocreate)
+        n = fn(self._ptr, self.allocator._ptr,
+               uids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+               slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+               self.max_slots)
         return list(zip(uids[:n].tolist(), slots[:n].tolist()))
 
     def record_token(self, uid: int, is_eos: bool = False) -> bool:
