@@ -1,0 +1,374 @@
+"""Mixed-precision serving: per-(layer, projection) bit widths, fast path.
+
+``allocate.multigroup`` + ``surgery.compress_model_with_budget`` implement
+the reference's documented-but-never-built multi-group objective (reference
+``README.md:87-93``, ``CONVEX_CALDERA_IMPLEMENTATION.md:163-177``): every
+projection gets its own bit width from the menu under a global budget.
+Serving such a model fast is a TPU-design problem the reference never
+faced (it materializes dense weights, ``main.py:197-199``):
+
+- the fast stacked decode path (``stacked.decode_step_w4a8``) requires ONE
+  static bit width per projection stack — packed code arrays of different
+  widths have different shapes and cannot share a scalar-prefetch stack;
+- unrolling the layer loop per bit width compiles one layer body per layer
+  (minutes through a remote-compile relay).
+
+The scheme here keeps the single compiled layer body: for each projection
+name, layers are partitioned into **bit-width buckets**. Each bucket stacks
+its member layers' packed codes/scales/factors (static ``num_bits``), and
+two small index vectors map the global layer id to (bucket, index within
+bucket). The decode loop stays a ``fori_loop``; each projection apply is a
+``lax.switch`` over the buckets, so exactly one W4A8 kernel (at that
+layer's width) runs per projection per step, still selecting its layer slab
+via scalar-prefetch — no weight slices, no copies.
+
+Layers the quality gate left dense ride in a DenseLinear bucket (bf16
+matmul branch), mirroring the reference's revert-to-FP behavior
+(``main.py:212-218``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
+from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+    CalderaLinear, DenseLinear)
+from ee274_convexcaldera_llm_quantization_tpu.models import llama
+from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+    HeadMajorQuantKVCache, KVCache, LayerParams, ModelParams, QuantKVCache)
+from ee274_convexcaldera_llm_quantization_tpu.ops import attention as AT
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MixedProjection:
+    """One projection across all layers, bucketed by bit width.
+
+    ``buckets[j]`` is a stacked :class:`CalderaLinear` (leading axis = the
+    bucket's member layers, static ``num_bits``) or a stacked
+    :class:`DenseLinear`; ``bucket_of[l]`` / ``index_in[l]`` locate global
+    layer ``l``'s weights.
+    """
+
+    buckets: Tuple[object, ...]
+    bucket_of: Array              # (num_layers,) int32
+    index_in: Array               # (num_layers,) int32
+
+
+class MixedLayerStack(NamedTuple):
+    attn_norm: Array              # (layers, hidden)
+    q_proj: MixedProjection
+    k_proj: MixedProjection
+    v_proj: MixedProjection
+    o_proj: MixedProjection
+    mlp_norm: Array
+    gate_proj: MixedProjection
+    up_proj: MixedProjection
+    down_proj: MixedProjection
+
+
+class MixedStackedParams(NamedTuple):
+    embed: Array
+    layers: MixedLayerStack
+    final_norm: Array
+    lm_head: Optional[object]
+
+
+def _stack_lins(lins):
+    """Stack a homogeneous list of CalderaLinear/DenseLinear on axis 0."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *lins)
+
+
+def _bucket_key(lin):
+    if isinstance(lin, DenseLinear):
+        return ("dense", lin.w.shape, lin.b is not None)
+    if not isinstance(lin, CalderaLinear):
+        raise TypeError(f"unsupported projection type {type(lin).__name__}")
+    if lin.mode != "w4a8":
+        raise ValueError(
+            "mixed fast serving requires w4a8-mode CalderaLinear "
+            f"projections (got mode={lin.mode!r}); recompress with "
+            "serving_mode='w4a8'")
+    return ("caldera", lin.num_bits, lin.packed.shape, lin.L.shape,
+            lin.b is not None, lin.L_scale is not None,
+            lin.R_scale is not None)
+
+
+def _build_projection(lins) -> MixedProjection:
+    keys = [_bucket_key(lin) for lin in lins]
+    order = []                    # distinct keys, first-seen order
+    for k in keys:
+        if k not in order:
+            order.append(k)
+    bucket_of = jnp.asarray([order.index(k) for k in keys], jnp.int32)
+    index_in = []
+    counters = {k: 0 for k in order}
+    for k in keys:
+        index_in.append(counters[k])
+        counters[k] += 1
+    members = {k: [lin for lin, kk in zip(lins, keys) if kk == k]
+               for k in order}
+    buckets = tuple(_stack_lins(members[k]) for k in order)
+    return MixedProjection(buckets=buckets, bucket_of=bucket_of,
+                           index_in=jnp.asarray(index_in, jnp.int32))
+
+
+def stack_layers_mixed(params: ModelParams) -> MixedStackedParams:
+    """Bucket a (possibly heterogeneous) per-layer model for mixed serving.
+
+    Accepts the output of ``surgery.compress_model_with_budget(...,
+    serving_mode="w4a8")``: any combination of per-layer bit widths plus
+    dense (reverted/uncompressed) layers.
+    """
+    lps = params.layers
+    fields = {"attn_norm": jnp.stack([lp.attn_norm for lp in lps]),
+              "mlp_norm": jnp.stack([lp.mlp_norm for lp in lps])}
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj"):
+        fields[name] = _build_projection([getattr(lp, name) for lp in lps])
+    return MixedStackedParams(embed=params.embed,
+                              layers=MixedLayerStack(**fields),
+                              final_norm=params.final_norm,
+                              lm_head=params.lm_head)
+
+
+def num_bits_per_layer(mp: MixedProjection):
+    """Static per-layer bit widths of a projection (16 for dense buckets)."""
+    widths = []
+    for j in range(len(mp.buckets)):
+        b = mp.buckets[j]
+        widths.append(b.num_bits if isinstance(b, CalderaLinear) else 16)
+    return [widths[int(i)] for i in mp.bucket_of]
+
+
+def _apply_bucket(bucket, idx, y, interpret: bool):
+    """Apply layer ``idx`` of one bucket stack to activations ``y``."""
+    from ee274_convexcaldera_llm_quantization_tpu.models import stacked as st
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    if isinstance(bucket, DenseLinear):
+        W = jax.lax.dynamic_index_in_dim(bucket.w, idx, 0, keepdims=False)
+        out = jnp.dot(y.astype(jnp.bfloat16), W.T.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        if bucket.b is not None:
+            out = out + jax.lax.dynamic_index_in_dim(
+                bucket.b, idx, 0, keepdims=False)[None, :]
+        return out
+    yq = Kr.quantized_matmul_w4a8_stacked(
+        y, bucket.packed, bucket.scales, idx, bucket.num_bits,
+        interpret=interpret)
+    ylr = st._low_rank_layer(bucket, idx, y)
+    gs = jax.lax.dynamic_index_in_dim(bucket.global_scale, idx, 0,
+                                      keepdims=False)
+    out = (yq + ylr) * gs
+    if bucket.b is not None:
+        out = out + jax.lax.dynamic_index_in_dim(
+            bucket.b, idx, 0, keepdims=False)[None, :]
+    return out
+
+
+def _apply_mixed(mp: MixedProjection, l, y, interpret: bool):
+    """Projection apply for global layer ``l``: one switch, one kernel."""
+    if len(mp.buckets) == 1:
+        idx = jax.lax.dynamic_index_in_dim(mp.index_in, l, 0, keepdims=False)
+        return _apply_bucket(mp.buckets[0], idx, y, interpret)
+    branches = [functools.partial(_apply_bucket, b, interpret=interpret)
+                for b in mp.buckets]
+    bid = jax.lax.dynamic_index_in_dim(mp.bucket_of, l, 0, keepdims=False)
+    idx = jax.lax.dynamic_index_in_dim(mp.index_in, l, 0, keepdims=False)
+    return jax.lax.switch(bid, branches, idx, y)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def decode_step_mixed(params: MixedStackedParams, tokens: Array, pos: Array,
+                      cache, config: ModelConfig,
+                      interpret: bool = False):
+    """Batched decode step over a mixed-precision bucketed model.
+
+    Mirrors ``stacked.decode_step_w4a8`` (same math, same cache handling)
+    with each projection dispatched through its bit-width bucket. ``cache``
+    may be bf16 :class:`KVCache`, int8 :class:`QuantKVCache`, or head-major
+    :class:`HeadMajorQuantKVCache` (flash decode-attention kernel).
+    """
+    quant_kv = isinstance(cache, QuantKVCache)
+    head_major = isinstance(cache, HeadMajorQuantKVCache)
+    B = tokens.shape[0]
+    T = cache.k.shape[3] if head_major else cache.k.shape[2]
+    lp = params.layers
+    x = params.embed[tokens].astype(jnp.float32)
+    cos, sin = llama.rope_tables(config, pos[:, None])
+    if head_major:
+        mask = None
+    else:
+        valid = jnp.arange(T)[None, :] <= pos[:, None]
+        mask = jnp.where(valid, 0.0, -1e30)[:, None, None, None, :]
+    rows = jnp.arange(B)
+    kv_groups = config.num_heads // config.num_kv_heads
+
+    def body(l, carry):
+        x, cache = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], an, config.rms_norm_eps)[:, 0]
+        q = _apply_mixed(lp.q_proj, l, y, interpret).reshape(
+            B, 1, config.num_heads, config.head_dim)
+        k = _apply_mixed(lp.k_proj, l, y, interpret).reshape(
+            B, 1, config.num_kv_heads, config.head_dim)
+        v = _apply_mixed(lp.v_proj, l, y, interpret).reshape(
+            B, 1, config.num_kv_heads, config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        if head_major:
+            kq, ksc = llama.quantize_kv(k[:, 0])
+            vq, vsc = llama.quantize_kv(v[:, 0])
+            ck, cv, cks, cvs = cache
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[b][None, None, :, None, :], (l, b, 0, pos[b], 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[b][None, None, :, None, :], (l, b, 0, pos[b], 0))
+                cks = jax.lax.dynamic_update_slice(
+                    cks, ksc[b][None, None, :, None], (l, b, 0, pos[b]))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, vsc[b][None, None, :, None], (l, b, 0, pos[b]))
+            cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+            qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
+                                 config.head_dim)
+            attn = AT.flash_decode_q8(
+                qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                l, pos, interpret=interpret).reshape(B, config.q_dim)
+        elif quant_kv:
+            kq, ksc = llama.quantize_kv(k[:, 0])
+            vq, vsc = llama.quantize_kv(v[:, 0])
+            cache = QuantKVCache(
+                cache.k.at[l, rows, pos].set(kq),
+                cache.v.at[l, rows, pos].set(vq),
+                cache.k_scale.at[l, rows, pos].set(ksc),
+                cache.v_scale.at[l, rows, pos].set(vsc))
+            attn = llama._attention_q8(
+                q,
+                jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.k_scale, l, 0,
+                                             keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v_scale, l, 0,
+                                             keepdims=False),
+                mask).reshape(B, config.q_dim)
+        else:
+            cache = KVCache(
+                cache.k.at[l, rows, pos].set(k[:, 0].astype(cache.k.dtype)),
+                cache.v.at[l, rows, pos].set(v[:, 0].astype(cache.v.dtype)))
+            ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
+            attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
+        x = x + _apply_mixed(lp.o_proj, l, attn, interpret)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
+        gate = _apply_mixed(lp.gate_proj, l, y, interpret)
+        up = _apply_mixed(lp.up_proj, l, y, interpret)
+        x = x + _apply_mixed(lp.down_proj, l, jax.nn.silu(gate) * up,
+                             interpret)
+        return x, cache
+
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    logits = llama._logits(
+        x[:, None, :],
+        ModelParams(params.embed, [], params.final_norm, params.lm_head),
+        config, False, interpret)
+    return logits[:, 0, :], cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def prefill_into_slot_mixed(params: MixedStackedParams, tokens: Array,
+                            slot: Array, cache, config: ModelConfig,
+                            interpret: bool = False,
+                            last_pos: Optional[Array] = None):
+    """Prefill one (1, S) prompt into ``slot`` on the mixed path (the W4A8
+    kernels take (S, K) activations, so prefill reuses the same buckets)."""
+    quant_kv = isinstance(cache, QuantKVCache)
+    head_major = isinstance(cache, HeadMajorQuantKVCache)
+    S = tokens.shape[1]
+    lp = params.layers
+    x = params.embed[tokens[0]].astype(jnp.float32)
+    positions = jnp.arange(S)
+    cos, sin = llama.rope_tables(config, positions[None, :])
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
+
+    def body(l, carry):
+        x, cache = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], an, config.rms_norm_eps)[0]
+        q = _apply_mixed(lp.q_proj, l, y, interpret).reshape(
+            1, S, config.num_heads, config.head_dim)
+        k = _apply_mixed(lp.k_proj, l, y, interpret).reshape(
+            1, S, config.num_kv_heads, config.head_dim)
+        v = _apply_mixed(lp.v_proj, l, y, interpret).reshape(
+            1, S, config.num_kv_heads, config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        attn = llama._attention(q, k, v, mask).reshape(S, config.q_dim)
+        if head_major:
+            kq, ksc = llama.quantize_kv(k)
+            vq, vsc = llama.quantize_kv(v)
+            cache = HeadMajorQuantKVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, kq[0].transpose(1, 0, 2)[None, None],
+                    (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, vq[0].transpose(1, 0, 2)[None, None],
+                    (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.k_scale, ksc[0].T[None, None], (l, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v_scale, vsc[0].T[None, None], (l, slot, 0, 0)))
+        elif quant_kv:
+            kq, ksc = llama.quantize_kv(k)
+            vq, vsc = llama.quantize_kv(v)
+            cache = QuantKVCache(
+                jax.lax.dynamic_update_slice(cache.k, kq[None],
+                                             (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v, vq[None],
+                                             (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.k_scale, ksc[None],
+                                             (l, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v_scale, vsc[None],
+                                             (l, slot, 0, 0)))
+        else:
+            cache = KVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, k.astype(cache.k.dtype)[None],
+                    (l, slot, 0, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, v.astype(cache.v.dtype)[None],
+                    (l, slot, 0, 0, 0)))
+        x = x + _apply_mixed(lp.o_proj, l, attn, interpret)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
+        gate = _apply_mixed(lp.gate_proj, l, y, interpret)
+        up = _apply_mixed(lp.up_proj, l, y, interpret)
+        x = x + _apply_mixed(lp.down_proj, l, jax.nn.silu(gate) * up,
+                             interpret)
+        return x, cache
+
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    if last_pos is None:
+        x_last = x[-1:]
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, last_pos, 1, axis=0)
+    logits = llama._logits(
+        x_last[None],
+        ModelParams(params.embed, [], params.final_norm, params.lm_head),
+        config, False, interpret)
+    return logits[0, 0, :], cache

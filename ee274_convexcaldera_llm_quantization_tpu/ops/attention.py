@@ -59,36 +59,42 @@ def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
         s_ref[:] = jnp.zeros_like(s_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                                      # (KVH, G, D) f32
-    k = k_ref[0, 0].astype(jnp.float32)               # (KVH, block_t, D)
-    ks = ks_ref[0, 0]                                 # (KVH, block_t) f32
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)           # (KVH, G, block_t)
-    logits = logits * (ks * scale)[:, None, :]
+    # Token blocks past the newest valid token contribute nothing: their
+    # KV DMAs are elided by the clamped index_map (the block index stops
+    # changing, so Mosaic skips the re-fetch) and their compute is skipped
+    # here. The mask below keeps correctness independent of the skip.
+    @pl.when(t <= pos_ref[b] // block_t)
+    def _compute():
+        q = q_ref[0]                                  # (KVH, G, D) f32
+        k = k_ref[0, 0].astype(jnp.float32)           # (KVH, block_t, D)
+        ks = ks_ref[0, 0]                             # (KVH, block_t) f32
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (KVH, G, block_t)
+        logits = logits * (ks * scale)[:, None, :]
 
-    tok = t * block_t + jax.lax.broadcasted_iota(
-        jnp.int32, logits.shape, 2)
-    valid = tok <= pos_ref[b]
-    logits = jnp.where(valid, logits, _NEG_INF)
+        tok = t * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 2)
+        valid = tok <= pos_ref[b]
+        logits = jnp.where(valid, logits, _NEG_INF)
 
-    m_prev = m_ref[:, :, :1]                          # (KVH, G, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    # guard: a fully-masked block leaves m_new at the -inf sentinel and
-    # logits - m_new == 0 -> exp == 1; zero those probabilities explicitly
-    p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)  # (KVH, G, block_t)
-    s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        m_prev = m_ref[:, :, :1]                      # (KVH, G, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        # guard: a fully-masked block leaves m_new at the -inf sentinel and
+        # logits - m_new == 0 -> exp == 1; zero those probabilities
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-    v = v_ref[0, 0].astype(jnp.float32)               # (KVH, block_t, D)
-    vs = vs_ref[0, 0]                                 # (KVH, block_t)
-    pv = p * vs[:, None, :]
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)           # (KVH, G, D)
+        v = v_ref[0, 0].astype(jnp.float32)           # (KVH, block_t, D)
+        vs = vs_ref[0, 0]                             # (KVH, block_t)
+        pv = p * vs[:, None, :]
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (KVH, G, D)
 
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
 
     @pl.when(t == nt - 1)
     def _fin():
@@ -122,19 +128,26 @@ def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
         block_t //= 2
     scale = 1.0 / (D ** 0.5)
 
+    # Clamp the token-block index to the last valid block of each row: once
+    # the grid passes pos[b]'s block the index stops changing, Mosaic elides
+    # the (identical) KV DMAs, and the kernel skips the compute. At decode
+    # position p only ceil((p+1)/block_t) of the T/block_t cache blocks are
+    # read — KV traffic tracks the *live* context, not the allocated one.
+    def _kv_idx(b, t, L, P):
+        return (L[0], b, 0, jnp.minimum(t, P[b] // block_t), 0)
+
+    def _sc_idx(b, t, L, P):
+        return (L[0], b, 0, jnp.minimum(t, P[b] // block_t))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, T // block_t),
         in_specs=[
             pl.BlockSpec((1, KVH, G, D), lambda b, t, L, P: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, KVH, block_t, D),
-                         lambda b, t, L, P: (L[0], b, 0, t, 0)),
-            pl.BlockSpec((1, 1, KVH, block_t),
-                         lambda b, t, L, P: (L[0], b, 0, t)),
-            pl.BlockSpec((1, 1, KVH, block_t, D),
-                         lambda b, t, L, P: (L[0], b, 0, t, 0)),
-            pl.BlockSpec((1, 1, KVH, block_t),
-                         lambda b, t, L, P: (L[0], b, 0, t)),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
         ],
         out_specs=pl.BlockSpec((1, KVH, G, D),
                                lambda b, t, L, P: (b, 0, 0, 0)),
