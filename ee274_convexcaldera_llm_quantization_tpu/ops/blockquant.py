@@ -224,6 +224,12 @@ def quantize_dequantize(W: jax.Array, num_bits: int, method: str,
     elif method in ("bbint4", "bbint2"):
         q = affine_outlier_quantize_blocks(blocks, num_bits)
         out = affine_outlier_dequantize_blocks(q)
+    elif method == "e8p":
+        from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+        if num_bits != 2:
+            raise ValueError("e8p is a fixed-rate 2-bit codebook")
+        codes, scale = lattice.e8p_quantize_blocks(blocks)
+        out = lattice.e8p_dequantize_blocks(codes, scale)
     else:
         raise ValueError(f"unknown quantization method {method!r}")
     return unblockify(out, shape)

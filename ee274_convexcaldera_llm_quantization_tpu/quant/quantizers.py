@@ -8,7 +8,9 @@ on top of the functional primitives in ``ops.blockquant``.
 Methods: ``uniform`` (symmetric absmax), ``nf4`` (reference legacy codebook),
 ``nf4_true`` (exact bitsandbytes NF4 table, the reference's
 ``quantization_experimental.py`` variant), ``nf2``, ``bbint4`` / ``bbint2``
-(affine min/max with 6-sigma outlier extraction and byte packing).
+(affine min/max with 6-sigma outlier extraction and byte packing), and
+``e8p`` (E8 lattice vector codebook at exactly 2 bits/weight — beyond
+reference parity; see ``ops.lattice``).
 
 Differences from the reference, by design:
 - no side-effect CSV logging from inside quantizers (outlier counts are
@@ -32,7 +34,7 @@ from ee274_convexcaldera_llm_quantization_tpu.ops import blockquant as bq
 from ee274_convexcaldera_llm_quantization_tpu.ops import packing
 
 _METHODS = ("uniform", "nf4", "nf4_true", "nf4_meanstd", "nf2",
-            "bbint4", "bbint2")
+            "bbint4", "bbint2", "e8p")
 _BITWIDTHS = (2, 3, 4, 8, 16)
 
 
@@ -63,6 +65,8 @@ class QuantizedTensor:
 
     def packed_codes(self) -> jax.Array:
         """Byte-packed codes (lossless; layout matches the reference)."""
+        if self.method == "e8p":
+            return self.codes  # uint16 per 8 weights: already 2 bits/weight
         if self.method == "uniform":
             if self.num_bits > 8:
                 return self.codes
@@ -106,6 +110,8 @@ class BlockQuantizer:
             raise ValueError("bbint4 supports only 4 bits")
         if method == "bbint2" and num_bits != 2:
             raise ValueError("bbint2 supports only 2 bits")
+        if method == "e8p" and num_bits != 2:
+            raise ValueError("e8p is a 16-bit-per-8-weights codebook: 2 bits")
         self.num_bits = num_bits
         self.method = method
         self.block_size = block_size
@@ -135,6 +141,11 @@ class BlockQuantizer:
             return QuantizedTensor(codes=idx, scale=std, zero=mean,
                                    shape=tuple(shape),
                                    num_bits=self.num_bits, method=self.method)
+        if self.method == "e8p":
+            from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+            codes, scale = lattice.e8p_quantize_blocks(blocks)
+            return QuantizedTensor(codes=codes, scale=scale, shape=tuple(shape),
+                                   num_bits=self.num_bits, method=self.method)
         q = bq.affine_outlier_quantize_blocks(blocks, self.num_bits)
         return QuantizedTensor(codes=q.codes, scale=q.scales, zero=q.block_min,
                                outlier_mask=q.outlier_mask,
@@ -151,6 +162,9 @@ class BlockQuantizer:
         elif qt.method == "nf4_meanstd":
             out = bq.nf_meanstd_dequantize_blocks(
                 qt.codes, qt.zero, qt.scale, bq.nf_levels(qt.method))
+        elif qt.method == "e8p":
+            from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+            out = lattice.e8p_dequantize_blocks(qt.codes, qt.scale)
         else:
             out = bq.affine_outlier_dequantize_blocks(bq.AffineOutlierQuant(
                 codes=qt.codes, block_min=qt.zero, scales=qt.scale,

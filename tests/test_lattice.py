@@ -1,0 +1,192 @@
+"""E8P lattice codebook quantizer (ops/lattice.py).
+
+Beyond-parity component: the reference's 2-bit quantizers are all scalar
+(reference ``quantization.py:93-243``); e8p is an 8-dim E8 lattice codebook
+at the same 2 bits/weight. Tests pin down: codebook lattice membership,
+Conway-Sloane nearest-point exactness, encode = brute-force argmin, the
+shaping gain over scalar quantizers on Gaussian data, and the CALDERA /
+Hadamard-rotation integration that motivates the method.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ee274_convexcaldera_llm_quantization_tpu.ops import blockquant as bq
+from ee274_convexcaldera_llm_quantization_tpu.ops import lattice as lat
+from ee274_convexcaldera_llm_quantization_tpu.quant.quantizers import (
+    BlockQuantizer, QuantizerFactory)
+
+
+class TestCodebook:
+    def test_size_and_uniqueness(self):
+        cb = lat.e8p_codebook()
+        assert cb.shape == (65536, 8)
+        assert len(np.unique(cb.round(4), axis=0)) == 65536
+
+    def test_lattice_membership(self):
+        cb = lat.e8p_codebook()
+        v = cb - 0.25
+        frac = v - np.round(v)
+        int_coset = np.all(np.abs(frac) < 1e-6, axis=1)
+        half_coset = np.all(np.abs(np.abs(frac) - 0.5) < 1e-6, axis=1)
+        assert np.all(int_coset | half_coset)
+        ints = np.where(int_coset[:, None], np.round(v), np.round(v - 0.5))
+        assert np.all(ints.sum(axis=1).astype(int) % 2 == 0)
+
+    def test_norm_ordered_ball(self):
+        cb = lat.e8p_codebook()
+        norms = (cb * cb).sum(axis=1)
+        # smallest-norm selection: every entry no larger than the radius
+        assert norms.max() <= 14.0
+        assert norms.min() == pytest.approx(0.5)  # all-(+-1/4) shell
+
+    def test_hash_collision_free(self):
+        _, sorted_keys, order = lat._hash_table()
+        assert len(np.unique(sorted_keys)) == 65536
+        assert sorted(order.tolist()) == list(range(65536))
+
+
+class TestNearestPoint:
+    def test_conway_sloane_optimal_vs_brute(self):
+        rng = np.random.default_rng(0)
+        y = (0.4 * rng.normal(size=(200, 8))).astype(np.float32)
+        ne = np.asarray(lat.nearest_e8(jnp.asarray(y)))
+        pts = np.concatenate([
+            lat._enumerate_shifted_coset(0.0, 9.0),
+            lat._enumerate_shifted_coset(0.5, 9.0)]).astype(np.float32)
+        scores = -2 * y @ pts.T + (pts * pts).sum(1)[None]
+        bf = pts[scores.argmin(1)]
+        dn = ((y - ne) ** 2).sum(1)
+        db = ((y - bf) ** 2).sum(1)
+        np.testing.assert_allclose(dn, db, atol=1e-5)
+
+    def test_results_are_lattice_points(self):
+        rng = np.random.default_rng(1)
+        y = rng.normal(size=(300, 8)).astype(np.float32) * 2.0
+        ne = np.asarray(lat.nearest_e8(jnp.asarray(y)))
+        frac = ne - np.round(ne)
+        int_c = np.all(np.abs(frac) < 1e-6, axis=1)
+        half_c = np.all(np.abs(np.abs(frac) - 0.5) < 1e-6, axis=1)
+        assert np.all(int_c | half_c)
+        s = np.where(int_c, ne.sum(1), (ne - 0.5).sum(1))
+        assert np.all(np.round(s).astype(int) % 2 == 0)
+
+
+class TestEncode:
+    def test_self_encode_identity(self):
+        cb = lat.e8p_codebook()
+        sample = cb[::97]
+        idx = np.asarray(lat.e8p_encode(jnp.asarray(sample), jnp.asarray(cb)))
+        np.testing.assert_allclose(cb[idx.astype(int)], sample, atol=1e-6)
+
+    def test_encode_matches_brute_force(self):
+        # scale up so a fraction of vectors clip out of the codebook ball,
+        # exercising both the C&S fast path and the brute-force fallback
+        rng = np.random.default_rng(2)
+        y = (1.3 * rng.normal(size=(256, 8))).astype(np.float32)
+        cb = jnp.asarray(lat.e8p_codebook())
+        idx = np.asarray(lat.e8p_encode(jnp.asarray(y), cb))
+        bf = np.asarray(lat._brute_force_encode(jnp.asarray(y), cb))
+        d_idx = ((y - np.asarray(cb)[idx.astype(int)]) ** 2).sum(1)
+        d_bf = ((y - np.asarray(cb)[bf.astype(int)]) ** 2).sum(1)
+        np.testing.assert_allclose(d_idx, d_bf, atol=1e-5)
+
+
+class TestBlockQuantization:
+    def test_round_trip_shapes_and_rate(self):
+        rng = np.random.default_rng(3)
+        blocks = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        codes, scale = lat.e8p_quantize_blocks(blocks)
+        assert codes.shape == (16, 8) and codes.dtype == jnp.uint16
+        assert scale.shape == (16, 1)
+        rec = lat.e8p_dequantize_blocks(codes, scale)
+        assert rec.shape == blocks.shape
+        # 16 bits per 8 weights = exactly 2 bits/weight
+        assert codes.size * 16 == blocks.size * 2
+
+    def test_beats_scalar_quantizers_on_gaussian(self):
+        rng = np.random.default_rng(4)
+        blocks = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        codes, scale = lat.e8p_quantize_blocks(blocks)
+        mse = float(jnp.mean(
+            (lat.e8p_dequantize_blocks(codes, scale) - blocks) ** 2))
+        # scalar 2-bit Lloyd-Max on a unit Gaussian bottoms out at 0.1175;
+        # the E8 shaping+packing gain must beat it (measured ~0.090)
+        assert mse < 0.105
+        c2, a2 = bq.uniform_quantize_blocks(blocks, 2)
+        mse_u = float(jnp.mean(
+            (bq.uniform_dequantize_blocks(c2, a2, 2) - blocks) ** 2))
+        i2, s2 = bq.nf_quantize_blocks(blocks, bq.NF2_LEVELS)
+        mse_n = float(jnp.mean(
+            (bq.nf_dequantize_blocks(i2, s2, bq.NF2_LEVELS) - blocks) ** 2))
+        assert mse < 0.5 * mse_n < 0.5 * mse_u
+
+    def test_block_size_must_be_multiple_of_8(self):
+        with pytest.raises(ValueError, match="multiple"):
+            lat.e8p_quantize_blocks(jnp.zeros((4, 12)))
+
+    def test_quantize_dequantize_dispatcher(self):
+        rng = np.random.default_rng(5)
+        W = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
+        out = bq.quantize_dequantize(W, 2, "e8p", 64)
+        assert out.shape == W.shape
+        rel = float(jnp.linalg.norm(out - W) / jnp.linalg.norm(W))
+        assert rel < 0.35
+        with pytest.raises(ValueError, match="2-bit"):
+            bq.quantize_dequantize(W, 4, "e8p", 64)
+
+
+class TestQuantizerClass:
+    def test_block_quantizer_integration(self):
+        rng = np.random.default_rng(6)
+        W = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        q = BlockQuantizer(num_bits=2, method="e8p", block_size=64)
+        qt = q.quantize(W)
+        assert qt.codes.dtype == jnp.uint16
+        rec = q.dequantize(qt)
+        assert rec.shape == W.shape
+        # storage: 2 bits/weight + one fp16 scale per block
+        assert qt.storage_bits() == W.size * 2 + (W.size // 64) * 16
+        assert qt.packed_codes().dtype == jnp.uint16
+
+    def test_rejects_wrong_bits(self):
+        with pytest.raises(ValueError):
+            BlockQuantizer(num_bits=4, method="e8p")
+
+
+class TestCalderaIntegration:
+    def test_e8p_beats_uniform_in_caldera(self):
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams, caldera)
+        rng = np.random.default_rng(7)
+        W = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+
+        def err(method, block_size):
+            p = CalderaParams(
+                Q_bits=2, L_bits=16, R_bits=16, rank=4, iters=2,
+                quant_factory_Q=QuantizerFactory(method=method,
+                                                 block_size=block_size))
+            d = caldera(p, W, scale_W=False)
+            return float(jnp.linalg.norm(d.reconstruct() - W)
+                         / jnp.linalg.norm(W))
+
+        assert err("e8p", 64) < 0.6 * err("uniform", "global")
+
+    def test_rotation_helps_heavy_tails_with_e8p(self):
+        # the measured PERFORMANCE.md finding: incoherence processing pays
+        # off once the quantizer is distribution-matched (lattice codebook)
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams, caldera)
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            caldera_with_hadamard)
+        rng = np.random.default_rng(8)
+        W = jnp.asarray(rng.standard_t(df=3, size=(64, 64)).astype(np.float32))
+        p = CalderaParams(Q_bits=2, L_bits=16, R_bits=16, rank=4, iters=2,
+                          quant_factory_Q=QuantizerFactory(method="e8p",
+                                                           block_size=64))
+        d = caldera(p, W, scale_W=False)
+        plain = float(jnp.linalg.norm(d.reconstruct() - W)
+                      / jnp.linalg.norm(W))
+        _, rot = caldera_with_hadamard(p, W)
+        assert rot < plain + 0.02  # never hurts; typically clearly better
