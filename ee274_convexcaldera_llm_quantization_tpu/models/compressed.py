@@ -260,14 +260,43 @@ def compress_linear(
     group_size: Optional[int] = None,
     bias: Optional[Array] = None,
     mode: str = "grouped",
+    q_method: str = "uniform",
 ) -> CalderaLinear:
     """Pack a CALDERA decomposition ``(Q, L, R)`` into serving form.
 
     ``W`` here is the *Q component* (already quantize-dequantized by the
-    solver); re-quantizing it at the same bit width in the serving layout is
-    exact for the uniform quantizer up to per-group rescaling.
+    solver, or the raw residual ``W/gs - L @ R``); re-quantizing it at the
+    same bit width in the serving layout is exact for the uniform quantizer
+    up to per-group rescaling.
+
+    ``q_method="e8p"`` quantizes the residual with the E8 lattice codebook
+    (2 bits/weight information rate, ``ops.lattice``) and serves it through
+    the int4 W4A8 layout via the lossless odd-quarter repack
+    (``lattice.e8p_pack_rowscale``): the per-row lattice offset ``s/4``
+    becomes an extra rank-1 term appended to ``L``/``R``, so every existing
+    w4a8 kernel (flat, stacked, fused, TP) serves lattice-quantized weights
+    unchanged. Requires ``mode="w4a8"``; ``num_bits`` is forced to 4 (the
+    HBM-resident form) — bit accounting should count 2.
     """
     N, Kin = W.shape
+    if q_method == "e8p":
+        if mode != "w4a8":
+            raise ValueError("e8p serving requires mode='w4a8'")
+        from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+        packed, half_scales, offsets = lattice.e8p_pack_rowscale(W)
+        gs = jnp.asarray(global_scale, jnp.float32)
+        L_aug = jnp.concatenate(
+            [L.astype(jnp.bfloat16),
+             (offsets / gs).astype(jnp.bfloat16)], axis=1)
+        R_aug = jnp.concatenate(
+            [R.astype(jnp.bfloat16), jnp.ones((1, Kin), jnp.bfloat16)],
+            axis=0)
+        return CalderaLinear(
+            packed=packed, scales=half_scales, L=L_aug, R=R_aug,
+            global_scale=gs, b=bias, num_bits=4, group_size=Kin,
+            out_features=N, in_features=Kin, mode="w4a8")
+    if q_method != "uniform":
+        raise ValueError(f"unknown serving q_method {q_method!r}")
     if mode == "w4a8":
         packed, scales = K.pack_rowscale(W, num_bits)
         group_size = Kin

@@ -166,9 +166,16 @@ def compress_model(
     serving_bits: Optional[int] = None,
     serving_mode: str = "grouped",
     use_hadamard=False,    # False | True (dense, reference-like) | "servable"
+    serving_quant: str = "uniform",   # "uniform" | "e8p" (needs w4a8)
     progress: Optional[Callable[[str, float], None]] = None,
 ) -> Tuple[ModelParams, SurgeryReport]:
     """Compress the selected projections of a model.
+
+    ``serving_quant="e8p"`` packs each residual with the 2-bit E8 lattice
+    codebook served through the int4 W4A8 layout (see
+    ``compressed.compress_linear``); bit accounting counts the 2-bit
+    information rate plus one fp16 scale per row (the serving-resident HBM
+    form is 4-bit).
 
     ``hessians`` maps ``"layers.{i}.{proj}"`` to a diagonal (1-D) or full
     (2-D) input-activation second moment — the schema of the reference's
@@ -259,7 +266,8 @@ def compress_model(
                 q_src = decomp.Q
             clin = compress_linear(q_src, decomp.L, decomp.R, sbits,
                                    global_scale=decomp.global_scale,
-                                   bias=lin.b, mode=serving_mode)
+                                   bias=lin.b, mode=serving_mode,
+                                   q_method=serving_quant)
             W_hat = clin.materialize()
             err = float(jnp.linalg.norm(W_hat - W) / jnp.linalg.norm(W))
             report.errors[name] = err
@@ -275,7 +283,10 @@ def compress_model(
                 report.compressed.append(name)
                 fields[proj] = clin
                 rank = decomp.L.shape[1]
-                report.total_bits += m * n * sbits + rank * (m + n) * 16
+                qbits = 2 if serving_quant == "e8p" else sbits
+                report.total_bits += (m * n * qbits + rank * (m + n) * 16
+                                      + (m * 16 if serving_quant == "e8p"
+                                         else 0))
             report.total_params += m * n
         new_layers.append(LayerParams(**fields))
     new_params = ModelParams(embed=params.embed, layers=new_layers,

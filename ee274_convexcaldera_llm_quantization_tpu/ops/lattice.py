@@ -303,3 +303,36 @@ def e8p_dequantize_blocks(codes: Array, scale: Array) -> Array:
     nb, nv = codes.shape
     rec = e8p_decode(codes.reshape(-1), cb).reshape(nb, nv * DIM)
     return rec * scale
+
+
+# ---------------------------------------------------------------------------
+# Lossless repack into the int4 W4A8 serving layout
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def e8p_pack_rowscale(W: Array) -> Tuple[Array, Array, Array]:
+    """Row-blocked e8p quantization repacked losslessly as int4 + rank-1.
+
+    Every E8+1/4 codeword coordinate is an odd multiple of 1/4 with
+    ``|c| <= sqrt(11.5) < 15/4``, so ``4c = 2m + 1`` with ``m in [-7, 6]``
+    — i.e. the lattice reconstruction ``s*c = m*(s/2) + (s/4)`` fits the
+    symmetric-int4 W4A8 serving layout exactly, with per-row scale ``s/2``
+    and a constant per-row offset ``s/4`` that callers fold into the
+    low-rank factors as a rank-1 term ``(s/4) @ ones(1, K)``. TPU Mosaic
+    cannot gather from a 2^16-entry VMEM codebook, so this repack is how
+    lattice-quantized weights ride the existing int8-MXU kernels: 2-bit
+    information rate (the uint16 codes are the storage form), int4 HBM
+    residency at serve time, zero extra quantization error.
+
+    Returns ``(packed (N, K/2) uint8 global-plane layout, half_scales
+    (N, 1) f32, offsets (N, 1) f32)``.
+    """
+    N, K = W.shape
+    codes, s = e8p_quantize_blocks(W.astype(jnp.float32))
+    cb = jnp.asarray(e8p_codebook())
+    c = e8p_decode(codes.reshape(-1), cb).reshape(N, K)
+    m = jnp.round(2.0 * c - 0.5)                      # (4c - 1) / 2
+    u = (m + 7.0).astype(jnp.uint8)                   # offset-binary int4
+    planes = u.reshape(N, 2, K // 2)
+    packed = (planes[:, 0, :] << 4) | planes[:, 1, :]
+    return packed, s / 2.0, s / 4.0

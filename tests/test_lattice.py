@@ -155,6 +155,79 @@ class TestQuantizerClass:
             BlockQuantizer(num_bits=4, method="e8p")
 
 
+class TestServingRepack:
+    """Lossless e8p -> int4 W4A8 repack (lattice.e8p_pack_rowscale)."""
+
+    def test_repack_bit_exact(self):
+        rng = np.random.default_rng(10)
+        W = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+        packed, half_s, off = lat.e8p_pack_rowscale(W)
+        codes, s = lat.e8p_quantize_blocks(W)
+        rec = np.asarray(lat.e8p_dequantize_blocks(codes, s))
+        pk = np.asarray(packed)
+        u = np.stack([(pk >> 4) & 0xF, pk & 0xF], axis=1).reshape(32, 64)
+        rec_int4 = ((u.astype(np.float32) - 7) * np.asarray(half_s)
+                    + np.asarray(off))
+        np.testing.assert_allclose(rec_int4, rec, atol=1e-5)
+        # int4 codes stay inside the symmetric range the kernels assume
+        assert u.min() >= 0 and u.max() <= 14
+
+    def test_compress_linear_e8p(self):
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+            apply_linear, compress_linear)
+        rng = np.random.default_rng(11)
+        W = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        L = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32)) * 0.1
+        R = jnp.asarray(rng.normal(size=(8, 128)).astype(np.float32)) * 0.1
+        lin = compress_linear(W, L, R, 4, mode="w4a8", q_method="e8p")
+        assert lin.L.shape == (64, 9) and lin.R.shape == (9, 128)  # +rank-1
+        codes, s = lat.e8p_quantize_blocks(W)
+        ref = (np.asarray(lat.e8p_dequantize_blocks(codes, s))
+               + np.asarray(L) @ np.asarray(R))
+        mat = np.asarray(lin.materialize())
+        assert (np.linalg.norm(mat - ref) / np.linalg.norm(ref)) < 5e-3
+        x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+        y = np.asarray(apply_linear(lin, x))
+        y_ref = np.asarray(x) @ ref.T
+        assert (np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)) < 0.02
+
+    def test_compress_linear_e8p_requires_w4a8(self):
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+            compress_linear)
+        W = jnp.zeros((16, 16))
+        L = jnp.zeros((16, 2))
+        R = jnp.zeros((2, 16))
+        with pytest.raises(ValueError, match="w4a8"):
+            compress_linear(W, L, R, 4, mode="grouped", q_method="e8p")
+
+    def test_surgery_e8p_end_to_end(self):
+        import jax
+        from ee274_convexcaldera_llm_quantization_tpu.models import llama
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model)
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams)
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        cp = CalderaParams(Q_bits=2, L_bits=16, R_bits=16, rank=8, iters=1,
+                           lplr_iters=1)
+        qp, report = compress_model(
+            params, cp, proj_filter=("q_proj", "up_proj"),
+            serving_bits=4, serving_mode="w4a8", serving_quant="e8p")
+        assert len(report.compressed) == 2 * TINY.num_layers
+        # 2-bit information rate + rank-1-augmented factors + row scales
+        assert report.avg_bits_per_param < 4.0
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                  TINY.vocab_size)
+        logits_q = llama.forward(qp, toks, TINY)
+        logits_d = llama.forward(params, toks, TINY)
+        assert jnp.all(jnp.isfinite(logits_q))
+        # compressed model stays correlated with the dense one
+        a = np.asarray(logits_q).ravel()
+        b = np.asarray(logits_d).ravel()
+        assert np.corrcoef(a, b)[0, 1] > 0.5
+
+
 class TestCalderaIntegration:
     def test_e8p_beats_uniform_in_caldera(self):
         from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
