@@ -76,6 +76,11 @@ class CalderaLinear:
                                          metadata=dict(static=True))
     mode: str = dataclasses.field(default="grouped",
                                   metadata=dict(static=True))
+    # how the packed codes were produced: "uniform" (RTN absmax) or "e8p"
+    # (lattice codewords repacked as int4 — checkpoints store the 2-bit
+    # uint16 codes instead of the 4-bit serving pack; utils/checkpoint.py)
+    q_method: str = dataclasses.field(default="uniform",
+                                      metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -294,7 +299,7 @@ def compress_linear(
         return CalderaLinear(
             packed=packed, scales=half_scales, L=L_aug, R=R_aug,
             global_scale=gs, b=bias, num_bits=4, group_size=Kin,
-            out_features=N, in_features=Kin, mode="w4a8")
+            out_features=N, in_features=Kin, mode="w4a8", q_method="e8p")
     if q_method != "uniform":
         raise ValueError(f"unknown serving q_method {q_method!r}")
     if mode == "w4a8":

@@ -89,6 +89,7 @@ def compress_linear_rotated(
     serving_bits: Optional[int] = None,
     serving_mode: str = "grouped",
     bias: Optional[jnp.ndarray] = None,
+    q_method: str = "uniform",
 ):
     """CALDERA in a Hadamard-rotated basis, packed for SERVABLE rotated
     inference (:class:`compressed.RotatedLinear`).
@@ -105,12 +106,11 @@ def compress_linear_rotated(
     the original basis (orthonormal rotations preserve Frobenius norms).
 
     Measured caveat (see PERFORMANCE.md): with the absmax-uniform serving
-    quantizers and the activation-aware CALDERA solver, rotation does not
-    reduce reconstruction error on synthetic outlier/heavy-tail regimes —
-    incoherence processing pays off with distribution-matched codebook /
-    lattice quantizers (QuIP#-style), which is future work. The value here
-    is the serving capability: the rotated basis stays bit-packed where
-    the reference must materialize dense weights.
+    quantizers (``q_method="uniform"``) rotation does not reduce error on
+    synthetic outlier/heavy-tail regimes — incoherence processing pays off
+    with the distribution-matched lattice codebook, ``q_method="e8p"``
+    (QuIP#-style rotate-then-lattice-quantize; requires
+    ``serving_mode="w4a8"``), which is the recommended 2-bit configuration.
     """
     from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
         RotatedLinear)
@@ -133,7 +133,7 @@ def compress_linear_rotated(
     inner = compress_linear(q_src, decomp.L, decomp.R,
                             serving_bits or caldera_params.Q_bits,
                             global_scale=decomp.global_scale,
-                            mode=serving_mode)
+                            mode=serving_mode, q_method=q_method)
     rl = RotatedLinear(inner=inner, b=bias, rot_in=rot_in, rot_out=rot_out)
     err = float(jnp.linalg.norm(rl.materialize() - Wf)
                 / jnp.linalg.norm(Wf))
@@ -218,7 +218,8 @@ def compress_model(
                 # ``compress_linear_rotated``.
                 rl, err = compress_linear_rotated(
                     caldera_params, W, H=H, serving_bits=sbits,
-                    serving_mode=serving_mode, bias=lin.b)
+                    serving_mode=serving_mode, bias=lin.b,
+                    q_method=serving_quant)
                 report.errors[name] = err
                 if progress is not None:
                     progress(name, err)
@@ -230,8 +231,11 @@ def compress_model(
                     report.compressed.append(name)
                     fields[proj] = rl
                     rank = rl.inner.L.shape[1]
-                    report.total_bits += (m * n * sbits
-                                          + rank * (m + n) * 16)
+                    qbits = 2 if serving_quant == "e8p" else sbits
+                    report.total_bits += (m * n * qbits
+                                          + rank * (m + n) * 16
+                                          + (m * 16 if serving_quant == "e8p"
+                                             else 0))
                 report.total_params += m * n
                 continue
             if use_hadamard:

@@ -329,10 +329,35 @@ def e8p_pack_rowscale(W: Array) -> Tuple[Array, Array, Array]:
     """
     N, K = W.shape
     codes, s = e8p_quantize_blocks(W.astype(jnp.float32))
+    packed = codes_to_int4_planes(codes, K)
+    return packed, s / 2.0, s / 4.0
+
+
+def codes_to_int4_planes(codes: Array, K: int) -> Array:
+    """(..., N, K/8) uint16 e8p codes -> (..., N, K/2) uint8 global-plane
+    int4 pack (the W4A8 serving layout; see :func:`e8p_pack_rowscale`).
+    Leading dims (e.g. a stacked layer axis) pass through."""
     cb = jnp.asarray(e8p_codebook())
-    c = e8p_decode(codes.reshape(-1), cb).reshape(N, K)
+    lead = codes.shape[:-1]
+    c = e8p_decode(codes.reshape(-1), cb).reshape(*lead, K)
     m = jnp.round(2.0 * c - 0.5)                      # (4c - 1) / 2
     u = (m + 7.0).astype(jnp.uint8)                   # offset-binary int4
-    planes = u.reshape(N, 2, K // 2)
-    packed = (planes[:, 0, :] << 4) | planes[:, 1, :]
-    return packed, s / 2.0, s / 4.0
+    planes = u.reshape(*lead, 2, K // 2)
+    return (planes[..., 0, :] << 4) | planes[..., 1, :]
+
+
+def int4_planes_to_codes(packed: Array) -> Array:
+    """Inverse of :func:`codes_to_int4_planes`: recover the (..., N, K/8)
+    uint16 e8p codes from the int4 serving pack — the 2-bit
+    checkpoint/storage form. Raises if the unpacked values are not unit
+    E8+1/4 codewords (i.e. the pack did not come from an e8p linear)."""
+    K = packed.shape[-1] * 2
+    u = jnp.concatenate([(packed >> 4) & 0xF, packed & 0xF], axis=-1)
+    c = (2.0 * (u.astype(jnp.float32) - 7.0) + 1.0) / 4.0
+    pts = c.reshape(-1, DIM)
+    idx = _codeword_index(pts)
+    cb = jnp.asarray(e8p_codebook())
+    ok = jnp.all(jnp.abs(cb[idx.astype(jnp.int32)] - pts) < 1e-4)
+    if not bool(ok):
+        raise ValueError("int4 pack is not a lattice-codeword stream")
+    return idx.reshape(*packed.shape[:-1], K // DIM).astype(jnp.uint16)

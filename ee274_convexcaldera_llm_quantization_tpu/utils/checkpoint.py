@@ -49,7 +49,14 @@ def _encode_linear(lin, prefix, arrays):
             put(f"{prefix}.b", lin.b)
         return {"kind": "dense", "has_bias": lin.b is not None}
     assert isinstance(lin, CalderaLinear)
-    put(f"{prefix}.packed", lin.packed)
+    if lin.q_method == "e8p":
+        # store the 2-bit lattice codes, not the 4-bit serving pack: the
+        # int4 form is an HBM-resident decode of the codes and is rebuilt
+        # losslessly at load (ops/lattice.py int4<->code round trip)
+        from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+        put(f"{prefix}.e8p_codes", lattice.int4_planes_to_codes(lin.packed))
+    else:
+        put(f"{prefix}.packed", lin.packed)
     put(f"{prefix}.scales", lin.scales)
     put(f"{prefix}.L", lin.L)
     put(f"{prefix}.R", lin.R)
@@ -59,7 +66,7 @@ def _encode_linear(lin, prefix, arrays):
     return {"kind": "caldera", "has_bias": lin.b is not None,
             "num_bits": lin.num_bits, "group_size": lin.group_size,
             "out_features": lin.out_features, "in_features": lin.in_features,
-            "mode": lin.mode}
+            "mode": lin.mode, "q_method": lin.q_method}
 
 
 def _decode_linear(meta, prefix, z, dtypes):
@@ -72,15 +79,22 @@ def _decode_linear(meta, prefix, z, dtypes):
     b = get(f"{prefix}.b") if meta["has_bias"] else None
     if meta["kind"] == "dense":
         return DenseLinear(w=get(f"{prefix}.w"), b=b)
+    q_method = meta.get("q_method", "uniform")
+    if q_method == "e8p":
+        from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+        packed = lattice.codes_to_int4_planes(get(f"{prefix}.e8p_codes"),
+                                              meta["in_features"])
+    else:
+        packed = get(f"{prefix}.packed")
     return CalderaLinear(
-        packed=get(f"{prefix}.packed"),
+        packed=packed,
         scales=get(f"{prefix}.scales"),
         L=get(f"{prefix}.L"),
         R=get(f"{prefix}.R"),
         global_scale=get(f"{prefix}.global_scale"),
         b=b, num_bits=meta["num_bits"], group_size=meta["group_size"],
         out_features=meta["out_features"], in_features=meta["in_features"],
-        mode=meta.get("mode", "grouped"))
+        mode=meta.get("mode", "grouped"), q_method=q_method)
 
 
 def save_params(path: str, params: ModelParams, config: ModelConfig) -> None:

@@ -228,6 +228,67 @@ class TestServingRepack:
         assert np.corrcoef(a, b)[0, 1] > 0.5
 
 
+class TestCheckpointStorage:
+    """2-bit e8p code storage in checkpoints (utils/checkpoint.py)."""
+
+    def test_int4_code_round_trip(self):
+        rng = np.random.default_rng(12)
+        W = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        packed, _, _ = lat.e8p_pack_rowscale(W)
+        codes = lat.int4_planes_to_codes(packed)
+        assert codes.shape == (16, 8) and codes.dtype == jnp.uint16
+        rebuilt = lat.codes_to_int4_planes(codes, 64)
+        np.testing.assert_array_equal(np.asarray(rebuilt), np.asarray(packed))
+
+    def test_int4_code_round_trip_stacked(self):
+        rng = np.random.default_rng(13)
+        W = jnp.asarray(rng.normal(size=(3, 8, 32)).astype(np.float32))
+        packed = jnp.stack([lat.e8p_pack_rowscale(W[i])[0] for i in range(3)])
+        codes = lat.int4_planes_to_codes(packed)
+        assert codes.shape == (3, 8, 4)
+        rebuilt = lat.codes_to_int4_planes(codes, 32)
+        np.testing.assert_array_equal(np.asarray(rebuilt), np.asarray(packed))
+
+    def test_rejects_non_lattice_pack(self):
+        # uniform RTN codes use the full int4 range incl. u=15, which maps
+        # to c=17/4 — out of every codebook shell
+        bad = jnp.full((4, 16), 0xFF, jnp.uint8)
+        with pytest.raises(ValueError, match="lattice"):
+            lat.int4_planes_to_codes(bad)
+
+    def test_checkpoint_round_trip_e8p(self, tmp_path):
+        import jax
+        from ee274_convexcaldera_llm_quantization_tpu.models import llama
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model)
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams)
+        from ee274_convexcaldera_llm_quantization_tpu.utils.checkpoint import (
+            load_params, save_params)
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        cp = CalderaParams(Q_bits=2, L_bits=16, R_bits=16, rank=4, iters=1,
+                           lplr_iters=1)
+        qp, _ = compress_model(params, cp, proj_filter=("q_proj",),
+                               serving_mode="w4a8", serving_quant="e8p")
+        save_params(str(tmp_path / "ckpt"), qp, TINY)
+        # the stored artifact holds 2-bit codes, not the 4-bit pack
+        z = np.load(str(tmp_path / "ckpt" / "params.npz"))
+        code_keys = [k for k in z.files if k.endswith("e8p_codes")]
+        assert len(code_keys) == TINY.num_layers
+        assert all(z[k].dtype == np.uint16 for k in code_keys)
+        assert not any(k.endswith("q_proj.packed") for k in z.files)
+        loaded, _ = load_params(str(tmp_path / "ckpt"))
+        for i in range(TINY.num_layers):
+            a = qp.layers[i].q_proj
+            b = loaded.layers[i].q_proj
+            assert b.q_method == "e8p"
+            np.testing.assert_array_equal(np.asarray(a.packed),
+                                          np.asarray(b.packed))
+            np.testing.assert_allclose(np.asarray(a.scales),
+                                       np.asarray(b.scales))
+
+
 class TestCalderaIntegration:
     def test_e8p_beats_uniform_in_caldera(self):
         from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
