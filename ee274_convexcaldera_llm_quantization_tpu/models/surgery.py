@@ -402,9 +402,15 @@ def compress_model_with_budget(
     proj_filter: Sequence[str] = PROJ_NAMES,
     error_threshold: float = 0.99,
     serving_mode: str = "grouped",
+    use_e8p_at_2bit: bool = False,
     progress: Optional[Callable[[str, float], None]] = None,
 ):
     """Mixed-precision surgery under a global bit budget.
+
+    ``use_e8p_at_2bit`` upgrades every group the allocator assigns 2 bits
+    to the E8 lattice codebook (``ops.lattice``) at the same rate — the
+    lattice's ~2.3 dB shaping gain over the best scalar quantizer comes
+    free within the budget (requires ``serving_mode="w4a8"``).
 
     The reference documents this objective (per-group bit-widths ``b_g``
     under ``sum_g p_g b_g <= B_tot``, reference ``README.md:87-93``) but
@@ -458,7 +464,17 @@ def compress_model_with_budget(
                 fields[proj] = lin
                 continue
             bits = int(allocation.bits[name])
+            e8p_here = use_e8p_at_2bit and bits == 2
+            if e8p_here and serving_mode != "w4a8":
+                raise ValueError("use_e8p_at_2bit requires "
+                                 "serving_mode='w4a8'")
             cp = dataclasses.replace(caldera_params, Q_bits=bits)
+            if e8p_here:
+                from ee274_convexcaldera_llm_quantization_tpu.quant import (
+                    quantizers as _q)
+                cp = dataclasses.replace(
+                    cp, quant_factory_Q=_q.QuantizerFactory(
+                        method="e8p", block_size="global"))
             W = lin.w.astype(jnp.float32)
             m, n = W.shape
             H = None
@@ -469,9 +485,12 @@ def compress_model_with_budget(
                 q_src = W / decomp.global_scale - decomp.L @ decomp.R
             else:
                 q_src = decomp.Q
-            clin = compress_linear(q_src, decomp.L, decomp.R, bits,
+            clin = compress_linear(q_src, decomp.L, decomp.R,
+                                   4 if e8p_here else bits,
                                    global_scale=decomp.global_scale,
-                                   bias=lin.b, mode=serving_mode)
+                                   bias=lin.b, mode=serving_mode,
+                                   q_method="e8p" if e8p_here
+                                   else "uniform")
             W_hat = clin.materialize()
             err = float(jnp.linalg.norm(W_hat - W) / jnp.linalg.norm(W))
             report.errors[name] = err
@@ -484,7 +503,7 @@ def compress_model_with_budget(
             else:
                 report.compressed.append(name)
                 fields[proj] = clin
-                rank = decomp.L.shape[1]
+                rank = clin.L.shape[1]   # includes the e8p rank-1 offset
                 report.total_bits += m * n * bits + rank * (m + n) * 16
             report.total_params += m * n
         new_layers.append(LayerParams(**fields))

@@ -289,6 +289,57 @@ class TestCheckpointStorage:
                                        np.asarray(b.scales))
 
 
+class TestBudgetedE8P:
+    def test_budget_2bit_groups_upgrade_to_lattice(self):
+        import jax
+        from ee274_convexcaldera_llm_quantization_tpu.models import llama
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+            CalderaLinear)
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model_with_budget)
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams)
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=4, iters=1,
+                           lplr_iters=1)
+        qp, report, alloc = compress_model_with_budget(
+            params, cp, B_tot=2.5, menu=(2, 4),
+            proj_filter=("q_proj", "up_proj"), serving_mode="w4a8",
+            use_e8p_at_2bit=True)
+        two_bit = [n for n, b in alloc.bits.items() if int(b) == 2]
+        assert two_bit, "budget 2.5 over menu (2,4) must assign some 2-bit"
+        for i, lp in enumerate(qp.layers):
+            for proj in ("q_proj", "up_proj"):
+                lin = getattr(lp, proj)
+                name = f"layers.{i}.{proj}"
+                if not isinstance(lin, CalderaLinear):
+                    continue
+                if int(alloc.bits[name]) == 2:
+                    assert lin.q_method == "e8p" and lin.num_bits == 4
+                else:
+                    assert lin.q_method == "uniform"
+        toks = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0,
+                                  TINY.vocab_size)
+        assert np.isfinite(np.asarray(llama.forward(qp, toks, TINY))).all()
+
+    def test_e8p_at_2bit_requires_w4a8(self):
+        import jax
+        from ee274_convexcaldera_llm_quantization_tpu.models import llama
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model_with_budget)
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams)
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        cp = CalderaParams(Q_bits=4, rank=4, iters=1, lplr_iters=1)
+        with pytest.raises(ValueError, match="w4a8"):
+            compress_model_with_budget(
+                params, cp, B_tot=2.0, menu=(2,),
+                proj_filter=("q_proj",), serving_mode="grouped",
+                use_e8p_at_2bit=True)
+
+
 class TestCalderaIntegration:
     def test_e8p_beats_uniform_in_caldera(self):
         from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
