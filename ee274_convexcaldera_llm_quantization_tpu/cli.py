@@ -8,6 +8,7 @@ same dataclass configs the library uses.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -47,16 +48,29 @@ def cmd_compress(args):
     cp = CalderaParams(Q_bits=args.q_bits, L_bits=args.l_bits,
                        R_bits=args.r_bits, rank=args.rank, iters=args.iters,
                        lplr_iters=args.lplr_iters)
+    serving_quant = getattr(args, "serving_quant", "uniform")
+    if serving_quant == "e8p":
+        from ee274_convexcaldera_llm_quantization_tpu.quant.quantizers import (
+            QuantizerFactory)
+        cp = dataclasses.replace(
+            cp, quant_factory_Q=QuantizerFactory(method="e8p",
+                                                 block_size="global"))
     layer_range = None
     if args.layers:
         lo, hi = args.layers.split("-")
         layer_range = (int(lo), int(hi))
     t0 = time.time()
+    extra = {}
+    if not args.batched:
+        extra["serving_quant"] = serving_quant
+    elif serving_quant != "uniform":
+        raise SystemExit("--serving-quant e8p requires the serial "
+                         "(non --batched) compressor")
     fn = compress_model_batched if args.batched else compress_model
     qparams, report = fn(
         params, cp, hessians=hessians, layer_range=layer_range,
         error_threshold=args.error_threshold,
-        serving_mode=args.serving_mode,
+        serving_mode=args.serving_mode, **extra,
         progress=lambda n, e: print(f"  {n}: rel_err={e:.4f}",
                                     file=sys.stderr))
     print(json.dumps({
@@ -166,6 +180,10 @@ def main(argv=None):
     p.add_argument("--error-threshold", type=float, default=0.99)
     p.add_argument("--serving-mode", default="grouped",
                    choices=["grouped", "w4a8"])
+    p.add_argument("--serving-quant", default="uniform",
+                   choices=["uniform", "e8p"],
+                   help="e8p: 2-bit E8 lattice codebook served via the "
+                        "int4 repack (needs --serving-mode w4a8)")
     p.add_argument("--batched", action="store_true",
                    help="vmapped per-projection solve (same results, "
                         "~28x faster on accelerators)")
