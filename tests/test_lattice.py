@@ -340,6 +340,50 @@ class TestBudgetedE8P:
                 use_e8p_at_2bit=True)
 
 
+@pytest.fixture(scope="module")
+def e8p_tiny():
+    import jax
+    from ee274_convexcaldera_llm_quantization_tpu.models import llama
+    from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+    from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+        compress_model)
+    from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+        CalderaParams)
+    params = llama.init_params(jax.random.PRNGKey(0), TINY)
+    cp = CalderaParams(Q_bits=2, L_bits=16, R_bits=16, rank=4, iters=1,
+                       lplr_iters=1)
+    qp, _ = compress_model(params, cp, serving_mode="w4a8",
+                           serving_quant="e8p")
+    return qp
+
+
+class TestE8PServingStack:
+    """The full serving stack (stacked scan + fused projections) on an
+    all-e8p model: the rank-1 offset augmentation and q_method tag must
+    ride through stacking and fusion unchanged."""
+
+    def test_stack_and_fused_decode(self, e8p_tiny):
+        import jax
+        from ee274_convexcaldera_llm_quantization_tpu.models import (
+            fused, llama, stacked)
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+        sp = stacked.stack_layers(e8p_tiny)
+        assert sp.layers.q_proj.q_method == "e8p"
+        fp = fused.fuse_stacked(sp)
+        B = 2
+        cache = llama.KVCache.create(TINY, B, 16)
+        toks = jax.random.randint(jax.random.PRNGKey(3), (B,), 0,
+                                  TINY.vocab_size)
+        pos = jnp.zeros((B,), jnp.int32)
+        logits, _ = fused.decode_step_fused(fp, toks, pos, cache, TINY,
+                                            interpret=True)
+        # reference: unrolled forward on the same params, single token
+        full = llama.forward(e8p_tiny, toks[:, None], TINY)[:, 0]
+        a, b = np.asarray(logits), np.asarray(full)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 0.05  # int8-activation + bf16-factor tolerance
+
+
 class TestCalderaIntegration:
     def test_e8p_beats_uniform_in_caldera(self):
         from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
