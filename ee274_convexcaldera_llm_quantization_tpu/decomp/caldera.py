@@ -101,6 +101,14 @@ class CalderaDecomposition:
         16-bit (unquantized) factors.
         """
         out = {}
+        if params.quant_factory_Q.method == "e8p":
+            # lattice components re-extract exactly through the serving
+            # pack instead (lattice.e8p_pack_rowscale ->
+            # int4_planes_to_codes); the generic re-quantization below
+            # would re-run the scale search on changed row statistics.
+            raise NotImplementedError(
+                "e8p codes are recovered via the serving pack "
+                "(ops.lattice.int4_planes_to_codes), not quantized_codes()")
         if params.q_update == "ldlq":
             # LDLQ quantizes on a per-row uniform grid (the w4a8 serving
             # layout); re-derive codes on that grid. Exact whenever a row's
@@ -241,9 +249,56 @@ def ldlq_quantize(A: Array, U: Array, bits: int) -> Array:
     return Q
 
 
+def ldlq_quantize_e8p(A: Array, U: Array) -> Array:
+    """Block-LDLQ with the E8 lattice codebook (QuIP#'s quantizer).
+
+    Columns are processed in blocks of 8: each (rows, 8) slab is jointly
+    quantized as per-row-scaled E8P codewords (``ops.lattice``) and the
+    block's rounding error is propagated into the not-yet-quantized columns
+    through ``U`` (``U^T U = H^{-1}``, :func:`ldlq_precompute`). With
+    1-wide blocks and a scalar grid this reduces to :func:`ldlq_quantize`;
+    the within-block 8x8 metric is treated as identity (standard after
+    incoherence processing — the same approximation QuIP# makes).
+
+    Per-row scales come from the lattice scale search on the original
+    matrix and stay fixed through the sweep, so the result is exactly
+    ``scale * codeword`` per 8-group — directly servable by the int4
+    repack (``lattice.e8p_pack_rowscale`` layout).
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+
+    m, n = A.shape
+    if n % 8:
+        raise ValueError(f"LDLQ-e8p needs columns % 8 == 0, got {n}")
+    _, s = lattice.e8p_quantize_blocks(A)                 # (m, 1) scales
+    cb = jnp.asarray(lattice.e8p_codebook())
+    cols = jnp.arange(n)
+
+    def body(carry, j):
+        Awork, Q = carry
+        c0 = j * 8
+        blk = jax.lax.dynamic_slice(Awork, (0, c0), (m, 8))
+        idx = lattice.e8p_encode(blk / s, cb)
+        q = lattice.e8p_decode(idx, cb) * s
+        Ubb = jax.lax.dynamic_slice(U, (c0, c0), (8, 8))
+        E = jax.scipy.linalg.solve_triangular(
+            Ubb.T, (blk - q).T, lower=True).T             # (m, 8)
+        Urows = jax.lax.dynamic_slice(U, (c0, 0), (8, n))
+        future = (cols >= c0 + 8).astype(A.dtype)
+        Awork = Awork - E @ (Urows * future[None, :])
+        Q = jax.lax.dynamic_update_slice(Q, q, (0, c0))
+        return (Awork, Q), None
+
+    (_, Q), _ = jax.lax.scan(body, (A, jnp.zeros_like(A)),
+                             jnp.arange(n // 8))
+    return Q
+
+
 def _update_Q_ldlq(params: CalderaParams, W: Array, L: Array, R: Array,
                    U: Array) -> Array:
     residual = W - L @ R if params.compute_low_rank_factors else W
+    if params.quant_factory_Q.method == "e8p":
+        return ldlq_quantize_e8p(residual, U)
     return ldlq_quantize(residual, U, params.Q_bits)
 
 

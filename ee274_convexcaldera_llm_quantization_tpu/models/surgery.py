@@ -126,9 +126,12 @@ def compress_linear_rotated(
         Wr = _K.fwht(Wr, axis=1) / jnp.sqrt(jnp.float32(n))
     Hr = _rotate_hessian(H, n) if rot_in else H
     decomp = caldera(caldera_params, Wr, H=Hr, scale_W=False)
-    if caldera_params.compute_quantized_component:
+    if (caldera_params.compute_quantized_component
+            and caldera_params.q_update != "ldlq"):
         q_src = Wr / decomp.global_scale - decomp.L @ decomp.R
     else:
+        # LDLQ: pack the solver's Q — re-RTN of the raw residual would
+        # silently discard the error-feedback gains
         q_src = decomp.Q
     inner = compress_linear(q_src, decomp.L, decomp.R,
                             serving_bits or caldera_params.Q_bits,
@@ -263,8 +266,11 @@ def compress_model(
             # W/gs - L @ R with per-(row, group) scales — a strictly finer
             # grid than the solver's single global absmax scale
             # (``alg.py:247`` quirk), so the served weights are at least as
-            # accurate as the solver's own reconstruction.
-            if caldera_params.compute_quantized_component:
+            # accurate as the solver's own reconstruction. Exception: LDLQ
+            # Q updates are packed as-is — re-RTN of the raw residual would
+            # discard the error feedback.
+            if (caldera_params.compute_quantized_component
+                    and caldera_params.q_update != "ldlq"):
                 q_src = W / decomp.global_scale - decomp.L @ decomp.R
             else:
                 q_src = decomp.Q
@@ -359,7 +365,8 @@ def compress_model_batched(
             lin = getattr(params.layers[i], proj)
             name = f"layers.{i}.{proj}"
             W = Ws[j]
-            if caldera_params.compute_quantized_component:
+            if (caldera_params.compute_quantized_component
+                    and caldera_params.q_update != "ldlq"):
                 q_src = W - L[j] @ R[j]
             else:
                 q_src = Q[j]
@@ -481,7 +488,8 @@ def compress_model_with_budget(
             if hessians is not None and name in hessians:
                 H = jnp.asarray(np.asarray(hessians[name]), jnp.float32)
             decomp = caldera(cp, W, H=H, scale_W=False)
-            if cp.compute_quantized_component:
+            if (cp.compute_quantized_component
+                    and cp.q_update != "ldlq"):
                 q_src = W / decomp.global_scale - decomp.L @ decomp.R
             else:
                 q_src = decomp.Q

@@ -384,6 +384,70 @@ class TestE8PServingStack:
         assert rel < 0.05  # int8-activation + bf16-factor tolerance
 
 
+class TestLDLQE8P:
+    """Block-LDLQ with the lattice codebook (decomp.caldera.ldlq_quantize_e8p)."""
+
+    @staticmethod
+    def _aa_err(W, Q, H):
+        d = np.asarray(W - Q)
+        Hn = np.asarray(H)
+        return float(np.sqrt(np.trace(d @ Hn @ d.T)
+                             / np.trace(np.asarray(W) @ Hn @ np.asarray(W).T)))
+
+    @staticmethod
+    def _correlated_hessian(n, seed):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(4 * n, n)).astype(np.float32)
+        X[:, : n // 2] *= 4.0  # strongly anisotropic input statistics
+        H = X.T @ X / (4 * n)
+        return (H + H.T) / 2
+
+    def test_identity_hessian_reduces_to_plain_e8p(self):
+        from ee274_convexcaldera_llm_quantization_tpu.decomp import caldera as C
+        rng = np.random.default_rng(20)
+        A = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+        U = C.ldlq_precompute(jnp.eye(32))
+        Q = C.ldlq_quantize_e8p(A, U)
+        codes, s = lat.e8p_quantize_blocks(A)
+        plain = lat.e8p_dequantize_blocks(codes, s)
+        np.testing.assert_allclose(np.asarray(Q), np.asarray(plain),
+                                   atol=2e-5)
+
+    def test_beats_plain_e8p_on_correlated_hessian(self):
+        from ee274_convexcaldera_llm_quantization_tpu.decomp import caldera as C
+        rng = np.random.default_rng(21)
+        n = 64
+        A = jnp.asarray(rng.normal(size=(48, n)).astype(np.float32))
+        H = jnp.asarray(self._correlated_hessian(n, seed=22))
+        U = C.ldlq_precompute(H)
+        Q_ldlq = C.ldlq_quantize_e8p(A, U)
+        codes, s = lat.e8p_quantize_blocks(A)
+        Q_plain = lat.e8p_dequantize_blocks(codes, s)
+        e_ldlq = self._aa_err(A, Q_ldlq, H)
+        e_plain = self._aa_err(A, Q_plain, H)
+        assert e_ldlq < e_plain * 0.95, (e_ldlq, e_plain)
+
+    def test_caldera_ldlq_e8p_end_to_end(self):
+        from ee274_convexcaldera_llm_quantization_tpu.decomp import caldera as C
+        rng = np.random.default_rng(23)
+        n = 64
+        W = jnp.asarray(rng.normal(size=(48, n)).astype(np.float32))
+        H = jnp.asarray(self._correlated_hessian(n, seed=24))
+        p = C.CalderaParams(
+            Q_bits=2, L_bits=16, R_bits=16, rank=8, iters=2,
+            q_update="ldlq",
+            quant_factory_Q=QuantizerFactory(method="e8p",
+                                             block_size="global"))
+        d = C.caldera(p, W, H, scale_W=False)
+        e = self._aa_err(W, np.asarray(d.reconstruct()), H)
+        # uniform-LDLQ at the same rate for comparison
+        p_u = C.CalderaParams(Q_bits=2, L_bits=16, R_bits=16, rank=8,
+                              iters=2, q_update="ldlq")
+        d_u = C.caldera(p_u, W, H, scale_W=False)
+        e_u = self._aa_err(W, np.asarray(d_u.reconstruct()), H)
+        assert e < e_u, (e, e_u)
+
+
 class TestCalderaIntegration:
     def test_e8p_beats_uniform_in_caldera(self):
         from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
