@@ -334,13 +334,20 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret"),
+                   static_argnames=("config", "interpret", "flash"),
                    donate_argnames=("cache",))
 def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
                             slot: Array, cache, config: ModelConfig,
                             interpret: bool = False,
-                            last_pos: Optional[Array] = None):
-    """Prefill one (1, S) prompt into ``slot`` on the fused path."""
+                            last_pos: Optional[Array] = None,
+                            flash: bool = False):
+    """Prefill one (1, S) prompt into ``slot`` on the fused path.
+
+    ``flash=True`` computes the causal self-attention with the flash
+    prefill Pallas kernel (:func:`ops.attention.flash_prefill`) — online
+    softmax in VMEM instead of a materialized (1, KVH, G, S, S) f32 logits
+    tensor, which dominates HBM traffic at long prompts.
+    """
     quant_kv = isinstance(cache, QuantKVCache)
     head_major = isinstance(cache, HeadMajorQuantKVCache)
     S = tokens.shape[1]
@@ -348,8 +355,11 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
     x = params.embed[tokens[0]].astype(jnp.float32)
     positions = jnp.arange(S)
     cos, sin = llama.rope_tables(config, positions[None, :])
-    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
-    mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
+    if flash:
+        mask = None                  # flash kernel applies causality itself
+    else:
+        causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+        mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
 
     def body(l, carry):
         x, cache = carry
@@ -361,7 +371,12 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
         v = v.reshape(1, S, config.num_kv_heads, config.head_dim)
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
-        attn = llama._attention(q, k, v, mask).reshape(S, config.q_dim)
+        if flash:
+            attn = AT.flash_prefill(q, k, v,
+                                    interpret=interpret).reshape(
+                S, config.q_dim)
+        else:
+            attn = llama._attention(q, k, v, mask).reshape(S, config.q_dim)
         if head_major:
             kq, ksc = llama.quantize_kv(k)       # (1,S,KVH,D), (1,S,KVH)
             vq, vsc = llama.quantize_kv(v)

@@ -29,6 +29,7 @@ tests and as the CPU/interpret fallback.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -171,6 +172,132 @@ def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
       q.astype(jnp.float32), k, ks.astype(jnp.float32),
       v, vs.astype(jnp.float32))
     return out
+
+
+def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, s_ref, acc_ref,
+                          *, block_q: int, block_k: int, scale: float):
+    """Grid (B, KVH, S/block_q, S/block_k); the k-block axis is innermost
+    ('arbitrary') so the VMEM scratch carries the online-softmax state of
+    one q block across its k blocks. Causal skipping: k blocks strictly
+    above the diagonal are never computed AND never fetched (the k index
+    map clamps at the diagonal, so Mosaic elides the DMA re-fetch)."""
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kj * block_k <= qi * block_q + block_q - 1)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)           # (G, block_q, D)
+        k = k_ref[0, 0].astype(jnp.float32)           # (block_k, D)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (G, bq, bk)
+
+        tq = qi * block_q + jax.lax.broadcasted_iota(jnp.int32,
+                                                     logits.shape, 1)
+        tk = kj * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                     logits.shape, 2)
+        valid = tk <= tq
+        logits = jnp.where(valid, logits, _NEG_INF)
+
+        m_prev = m_ref[:, :, :1]                      # (G, bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+
+        v = v_ref[0, 0].astype(jnp.float32)           # (block_k, D)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (G, bq, D)
+
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(kj == nk - 1)
+    def _fin():
+        # every q row attends at least to itself, so s > 0 on real rows;
+        # the guard only protects rows introduced by padding
+        s = jnp.maximum(s_ref[:, :, :1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / s).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "interpret"))
+def flash_prefill(q: Array, k: Array, v: Array, block_q: int = 256,
+                  block_k: int = 256, interpret: bool = False) -> Array:
+    """Causal flash self-attention for prefill (no O(S^2) HBM logits).
+
+    The XLA prefill path (``llama._attention``) materializes a
+    (B, KVH, G, S, S) f32 logits tensor — at S=2048 that is ~0.5 GB per
+    layer per batch row of HBM traffic, which makes long-prompt prefill
+    HBM-bound. This kernel keeps logits/probabilities in VMEM scratch with
+    the online-softmax recurrence and skips above-diagonal blocks entirely
+    (compute AND DMA). No reference counterpart (the reference has no
+    serving path, ``main.py:197-199``).
+
+    Args:
+      q: (B, S, H, D) — queries, GQA head-major ``h = kvh * G + g``.
+      k, v: (B, S, KVH, D) — same-length self-attention inputs.
+
+    Returns (B, S, H, D) f32.
+    """
+    B, S, H, D = q.shape
+    KVH = k.shape[2]
+    G = H // KVH
+    scale = 1.0 / (D ** 0.5)
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    # one padded length divisible by BOTH block sizes
+    lcm = block_q * block_k // math.gcd(block_q, block_k)
+    Sp = S + (-S) % lcm
+    # head-major layouts: q -> (B, KVH, G, S, D); k/v -> (B, KVH, S, D)
+    qh = q.reshape(B, S, KVH, G, D).transpose(0, 2, 3, 1, 4)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    if Sp != S:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+
+    def _k_idx(b, h, i, j):
+        # clamp at the causal diagonal: above-diagonal blocks re-fetch the
+        # same (elided) block and skip compute
+        return (b, h, jnp.minimum(j, (i * block_q + block_q - 1) // block_k),
+                0)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_prefill_kernel, block_q=block_q,
+                          block_k=block_k, scale=scale),
+        grid=(B, KVH, Sp // block_q, Sp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, block_q, D),
+                         lambda b, h, i, j: (b, h, 0, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), _k_idx),
+            pl.BlockSpec((1, 1, block_k, D), _k_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, block_q, D),
+                               lambda b, h, i, j: (b, h, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, Sp, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((G, block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((G, block_q, 128), jnp.float32),   # running sum
+            pltpu.VMEM((G, block_q, D), jnp.float32),     # accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qh, kh, vh)
+    out = out[:, :, :, :S, :].transpose(0, 3, 1, 2, 4)   # (B, S, KVH, G, D)
+    return out.reshape(B, S, H, D)
 
 
 @functools.partial(jax.jit)

@@ -11,6 +11,7 @@ are all w4a8 :class:`CalderaLinear` (e.g. from
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ class FastServingEngine(ServingEngine):
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
         self._fused = isinstance(params, fused.FusedStackedParams)
+        self._flash = flash_attn
         if flash_attn:
             if not self._fused:
                 raise ValueError("flash_attn requires fused params "
@@ -62,8 +64,11 @@ class FastServingEngine(ServingEngine):
                                              self.max_seq_len)
 
     def _admit(self) -> None:
-        prefill_fn = (fused.prefill_into_slot_fused if self._fused
-                      else stacked.prefill_into_slot_w4a8)
+        if self._fused:
+            prefill_fn = functools.partial(fused.prefill_into_slot_fused,
+                                           flash=self._flash)
+        else:
+            prefill_fn = stacked.prefill_into_slot_w4a8
         while self.queue and self.free_slots:
             req = self.queue.popleft()
             slot = self.free_slots.pop()

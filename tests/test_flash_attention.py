@@ -104,6 +104,65 @@ class TestFlashDecodeKernel:
                                    rtol=2e-5, atol=2e-6)
 
 
+def _causal_ref(q, k, v):
+    """XLA causal self-attention reference (llama._attention with the
+    dense tril mask) in f32."""
+    S = q.shape[1]
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
+    return llama._attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32), mask)
+
+
+class TestFlashPrefillKernel:
+    @pytest.mark.parametrize("B,KVH,G,D,S,bq,bk", [
+        (2, 2, 1, 32, 64, 16, 16),     # MHA, multiple k blocks per q block
+        (1, 2, 2, 32, 64, 32, 16),     # GQA, block_q != block_k
+        (1, 1, 4, 128, 128, 128, 128), # single block, full lanes
+        (2, 1, 2, 32, 48, 16, 32),     # block_k > block_q
+    ])
+    def test_matches_xla_causal(self, B, KVH, G, D, S, bq, bk):
+        H = KVH * G
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, KVH, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, KVH, D), jnp.float32)
+        ref = _causal_ref(q, k, v)
+        out = AT.flash_prefill(q, k, v, block_q=bq, block_k=bk,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_padded_sequence(self):
+        # S not divisible by the block sizes exercises the lcm padding and
+        # the padded-row guard (padded rows must not produce NaN/inf that
+        # leak into real rows)
+        B, KVH, G, D, S = 1, 2, 2, 32, 40
+        ks = jax.random.split(jax.random.PRNGKey(12), 3)
+        q = jax.random.normal(ks[0], (B, S, KVH * G, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, KVH, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, KVH, D), jnp.float32)
+        ref = _causal_ref(q, k, v)
+        for bq, bk in [(16, 16), (16, 32), (64, 64)]:
+            out = AT.flash_prefill(q, k, v, block_q=bq, block_k=bk,
+                                   interpret=True)
+            assert np.all(np.isfinite(np.asarray(out)))
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_first_token_attends_only_itself(self):
+        # row 0 of a causal prefill must equal v[0] exactly
+        B, KVH, G, D, S = 1, 1, 1, 32, 32
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        q = jax.random.normal(ks[0], (B, S, KVH * G, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, KVH, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, KVH, D), jnp.float32)
+        out = AT.flash_prefill(q, k, v, block_q=8, block_k=8,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
+                                   np.asarray(v[0, 0, 0]), rtol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def fused_params():
     from ee274_convexcaldera_llm_quantization_tpu.models import stacked
@@ -173,6 +232,24 @@ class TestFusedHeadMajor:
         np.testing.assert_array_equal(np.asarray(ltm), np.asarray(lhm))
         np.testing.assert_array_equal(
             np.asarray(chm.v), np.asarray(ctm.v).transpose(0, 1, 3, 2, 4))
+
+    def test_prefill_flash_matches_xla_path(self, fused_params):
+        toks = jax.random.randint(jax.random.PRNGKey(21), (1, 8), 0,
+                                  TINY.vocab_size)
+        c0 = llama.HeadMajorQuantKVCache.create(TINY, 2, 16)
+        c1 = llama.HeadMajorQuantKVCache.create(TINY, 2, 16)
+        l0, c0 = fusedm.prefill_into_slot_fused(
+            fused_params, toks, jnp.asarray(1), c0, TINY, interpret=True)
+        l1, c1 = fusedm.prefill_into_slot_fused(
+            fused_params, toks, jnp.asarray(1), c1, TINY, interpret=True,
+            flash=True)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=2e-4, atol=2e-5)
+        # caches must agree (int8 codes: allow off-by-one rounding)
+        assert np.max(np.abs(np.asarray(c1.k, np.int32)
+                             - np.asarray(c0.k, np.int32))) <= 1
+        np.testing.assert_allclose(np.asarray(c1.k_scale),
+                                   np.asarray(c0.k_scale), rtol=2e-4)
 
     def test_prefill_then_decode_generation(self, fused_params):
         toks = jax.random.randint(jax.random.PRNGKey(7), (1, 6), 0,
