@@ -118,6 +118,86 @@ def weight_bytes_per_token(config, num_bits, rank, factor_bytes=2,
     return total
 
 
+def _bench_prefill(args, params, config, backend, use_pallas):
+    """Prefill (time-to-first-token) throughput: prompt tokens/sec through
+    ``prefill_into_slot_fused`` at ``--prompt-len``, slope-timed like the
+    decode bench. ``--flash-attn`` selects the flash prefill kernel
+    (online softmax in VMEM) vs the XLA path (materialized S^2 logits)."""
+    import jax
+    import jax.numpy as jnp
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        fused as fusedm, llama)
+
+    if not args.fused:
+        raise SystemExit("--phase prefill requires --fused (w4a8 path)")
+    S = args.prompt_len
+    if args.flash_attn:
+        cache = llama.HeadMajorQuantKVCache.create(config, 1, S)
+    elif args.kv_int8:
+        cache = llama.QuantKVCache.create(config, 1, S)
+    else:
+        cache = llama.KVCache.create(config, 1, S)
+    tokens = jnp.zeros((1, S), jnp.int32)
+
+    @jax.jit
+    def multi_prefill(params, n, cache):
+        def body(i, carry):
+            cache, acc = carry
+            logits, cache = fusedm.prefill_into_slot_fused(
+                params, tokens, jnp.asarray(0), cache, config,
+                interpret=not use_pallas, flash=args.flash_attn)
+            return cache, acc + jnp.sum(logits) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, n, body, (cache, jnp.float32(0)))[1]
+
+    t0 = time.time()
+    float(multi_prefill(params, 1, cache))
+    compile_s = time.time() - t0
+    print(f"# multi_prefill compiled in {compile_s:.1f}s", file=sys.stderr,
+          flush=True)
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            float(multi_prefill(params, n, cache))
+            best = min(best, time.time() - t0)
+        return best
+
+    n1 = max(args.warmup // 4, 1)
+    n2 = n1 + max(args.steps // 8, 4)
+    t1, t2 = timed(n1), timed(n2)
+    dt = max((t2 - t1) / (n2 - n1), 1e-9)
+    tok_per_s = S / dt
+
+    # Compute-bound roofline: total matmul FLOPs per prefill vs bf16 MXU
+    # peak (the int8 projections could go 2x faster, so this is generous
+    # to us on projections and fair on f32 attention).
+    h, im = config.hidden_size, config.intermediate_size
+    proj = (config.q_dim * h + 2 * config.kv_dim * h + h * config.q_dim
+            + 2 * im * h + h * im)
+    r = min(args.rank, h)
+    fac = r * (config.q_dim + 2 * config.kv_dim + 2 * h + 2 * im + h + im
+               + 4 * h + 2 * config.q_dim)
+    attn = 2 * config.num_heads * config.head_dim * S / 2  # causal half
+    flops = 2 * S * (proj + fac + attn) * config.num_layers
+    peak = {"tpu": 197e12, "axon": 197e12}.get(backend, 1e12)
+    vs = (flops / dt) / peak
+
+    variant = "-flash" if args.flash_attn else "-xla-attn"
+    print(json.dumps({
+        "metric": f"prefill tokens/sec/chip {args.model} "
+                  f"{args.bits}-bit+rank{args.rank} {args.mode}"
+                  f"{variant} S{S}",
+        "value": round(tok_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs, 4),
+    }))
+    print(f"# backend={backend} compile={compile_s:.1f}s "
+          f"prefill={dt * 1000:.1f}ms (slope n={n1}->{n2}) "
+          f"matmul_flops/prefill={flops / 1e12:.2f}T "
+          f"fraction_of_bf16_peak={vs:.3f}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="llama2-7b",
@@ -151,7 +231,14 @@ def main():
                         action=argparse.BooleanOptionalAction, default=True,
                         help="flash decode-attention Pallas kernel over a "
                              "head-major int8 KV cache (fused path only; "
-                             "implies --kv-int8)")
+                             "implies --kv-int8); in --phase prefill this "
+                             "selects the flash prefill kernel")
+    parser.add_argument("--phase", default="decode",
+                        choices=["decode", "prefill"],
+                        help="decode: steady-state decode throughput "
+                             "(headline). prefill: prompt tokens/sec of "
+                             "prefill_into_slot_fused at --prompt-len")
+    parser.add_argument("--prompt-len", type=int, default=2048)
     args = parser.parse_args()
 
     import jax
@@ -192,6 +279,10 @@ def main():
           flush=True)
     if args.flash_attn and not (args.fused and use_pallas):
         args.flash_attn = False      # kernel path needs fused params + TPU
+
+    if args.phase == "prefill":
+        _bench_prefill(args, params, config, backend, use_pallas)
+        return
     if args.flash_attn:
         cache = llama.HeadMajorQuantKVCache.create(config, args.batch,
                                                    args.context)
