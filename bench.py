@@ -141,10 +141,16 @@ def _bench_prefill(args, params, config, backend, use_pallas):
 
     @jax.jit
     def multi_prefill(params, n, cache):
+        # each iteration's tokens depend on the previous logits, so XLA
+        # cannot hoist the (otherwise loop-invariant) prefill out of the
+        # loop — without this the slope protocol measures an empty loop
         def body(i, carry):
             cache, acc = carry
+            tok = jnp.remainder(
+                tokens + jnp.asarray(acc * 1e9, jnp.int32),
+                config.vocab_size)
             logits, cache = fusedm.prefill_into_slot_fused(
-                params, tokens, jnp.asarray(0), cache, config,
+                params, tok, jnp.asarray(0), cache, config,
                 interpret=not use_pallas, flash=args.flash_attn)
             return cache, acc + jnp.sum(logits) * jnp.float32(1e-9)
         return jax.lax.fori_loop(0, n, body, (cache, jnp.float32(0)))[1]

@@ -63,6 +63,11 @@ class FusedW4A8Linear:
     # int8 factor storage (quantize_factors_int8_fused); None => bf16
     R_scale: Optional[Array] = None            # (layers, sum_ranks, 1)
     L_scales: Optional[Tuple[Array, ...]] = None   # per-proj (layers, N_i, 1)
+    # N-concatenated int8 L factors for the fused-factor kernel
+    # (quantized_matmul_w4a8_lr_stacked); set when ranks are uniform and
+    # lane-aligned — then ``Ls`` is left empty (single storage copy)
+    L_cat: Optional[Array] = None              # (layers, sum_N, rank) int8
+    L_scale_cat: Optional[Array] = None        # (layers, sum_N, 1) f32
     num_bits: int = dataclasses.field(default=4, metadata=dict(static=True))
     splits: Tuple[int, ...] = dataclasses.field(default=(),
                                                 metadata=dict(static=True))
@@ -139,13 +144,22 @@ def fuse_stacked(params: StackedModelParams) -> FusedStackedParams:
                               lm_head=params.lm_head)
 
 
-def _quantize_fused_factors(fp: FusedW4A8Linear) -> FusedW4A8Linear:
+def _quantize_fused_factors(fp: FusedW4A8Linear,
+                            fuse_kernel: bool = False) -> FusedW4A8Linear:
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
     if fp.R_scale is not None:
         return fp
     R8, Rs = Kr.quantize_int8_rowwise(fp.R)
     pairs = [Kr.quantize_int8_rowwise(L) for L in fp.Ls]
+    if fuse_kernel and Kr.lr_stacked_supported(fp.splits, fp.ranks):
+        # single storage copy: N-concatenated codes for the fused-factor
+        # kernel; per-projection scales kept (tiny) for introspection
+        return dataclasses.replace(
+            fp, R=R8, R_scale=Rs, Ls=(),
+            L_scales=tuple(s for _, s in pairs),
+            L_cat=jnp.concatenate([c for c, _ in pairs], axis=1),
+            L_scale_cat=jnp.concatenate([s for _, s in pairs], axis=1))
     return dataclasses.replace(
         fp, R=R8, R_scale=Rs, Ls=tuple(c for c, _ in pairs),
         L_scales=tuple(s for _, s in pairs))
@@ -153,21 +167,32 @@ def _quantize_fused_factors(fp: FusedW4A8Linear) -> FusedW4A8Linear:
 
 def quantize_factors_int8_fused(
         params: FusedStackedParams,
-        lm_head_int8: bool = True) -> FusedStackedParams:
+        lm_head_int8: bool = True,
+        fuse_factor_kernel: bool = False) -> FusedStackedParams:
     """int8-quantize all low-rank factors (and optionally the lm_head /
     tied embedding output head) of a fused model: for Llama-2-7B rank-128
     this cuts ~0.64 GB of bf16 factor reads to 0.32 GB and the head from
-    0.26 to 0.13 GB per decode step."""
+    0.26 to 0.13 GB per decode step.
+
+    ``fuse_factor_kernel=True`` additionally stores the L factors
+    N-concatenated (``FusedW4A8Linear.L_cat``) so decode/prefill run the
+    single-kernel packed+low-rank path
+    (:func:`ops.kernels.quantized_matmul_w4a8_lr_stacked`). Off by default:
+    measured on-chip (llama2-7b batch 8) the fused-factor kernel is
+    slightly SLOWER end to end (10.33 vs 9.72 ms/step) — XLA fully
+    overlaps the unfused factor-slice copies and dots with the packed
+    kernels, while in-kernel fusion serializes the R-slab DMA + xr compute
+    before each launch's first output block."""
     from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
         DenseLinear, quantize_factors_int8, quantize_linear_int8)
 
     lp = params.layers
     layers = FusedLayerStack(
         attn_norm=lp.attn_norm,
-        qkv=_quantize_fused_factors(lp.qkv),
+        qkv=_quantize_fused_factors(lp.qkv, fuse_factor_kernel),
         o_proj=quantize_factors_int8(lp.o_proj),
         mlp_norm=lp.mlp_norm,
-        gateup=_quantize_fused_factors(lp.gateup),
+        gateup=_quantize_fused_factors(lp.gateup, fuse_factor_kernel),
         down_proj=quantize_factors_int8(lp.down_proj))
     lm_head = params.lm_head
     if lm_head_int8:
@@ -183,6 +208,27 @@ def _apply_fused(fp: FusedW4A8Linear, l: Array, y: Array, interpret: bool):
     """One kernel call + per-projection low-rank adds; returns a tuple of
     (B, N_i) outputs in fusion order."""
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    if fp.L_cat is not None:
+        # packed matmul AND factor path in one kernel: no XLA factor-slice
+        # copies, no extra launches
+        out_cat = Kr.quantized_matmul_w4a8_lr_stacked(
+            y, fp.packed, fp.scales, l, fp.R, fp.R_scale, fp.L_cat,
+            fp.L_scale_cat, num_bits=fp.num_bits, rank=fp.ranks[0],
+            splits=fp.splits, interpret=interpret)
+        gs_l = jax.lax.dynamic_index_in_dim(fp.global_scale, l, 0,
+                                            keepdims=False)
+        b_l = (None if fp.b is None
+               else jax.lax.dynamic_index_in_dim(fp.b, l, 0, keepdims=False))
+        outs = []
+        off_n = 0
+        for i, N_i in enumerate(fp.splits):
+            out = out_cat[:, off_n:off_n + N_i] * gs_l[i]
+            if b_l is not None:
+                out = out + b_l[off_n:off_n + N_i][None, :]
+            outs.append(out)
+            off_n += N_i
+        return tuple(outs)
 
     yq = Kr.quantized_matmul_w4a8_stacked(
         y, fp.packed, fp.scales, l, fp.num_bits, interpret=interpret)
@@ -221,11 +267,16 @@ def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool):
     from ee274_convexcaldera_llm_quantization_tpu.models import stacked as st
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
+    # note: the single-kernel packed+low-rank path
+    # (quantized_matmul_w4a8_lr_stacked with one projection) measured
+    # SLOWER here (54.9 vs 51.3 us at the down_proj shape) — the R-slab
+    # DMA + xr compute serialize before the first output block, while the
+    # XLA factor path below overlaps fully with the packed kernel
     yq = Kr.quantized_matmul_w4a8_stacked(
         y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
-    ylr = st._low_rank_layer(lin, l, y)
+    out = yq + st._low_rank_layer(lin, l, y)
     gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0, keepdims=False)
-    out = (yq + ylr) * gs
+    out = out * gs
     if lin.b is not None:
         out = out + jax.lax.dynamic_index_in_dim(lin.b, l, 0,
                                                  keepdims=False)[None, :]

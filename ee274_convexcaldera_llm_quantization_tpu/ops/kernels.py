@@ -510,6 +510,189 @@ def quantized_matmul_w4a8_xla(x, packed, row_scales, num_bits):
     return acc.astype(jnp.float32) * row_scales[:, 0][None, :] * sx
 
 
+def _qmm_w4a8_lr_stacked_kernel(l_ref, pid_ref, xq_ref, y_ref, w_ref, s_ref,
+                                sx_ref, R_ref, Rs_ref, L_ref, Ls_ref, o_ref,
+                                xr_ref, *, num_bits: int, chunk_bytes: int,
+                                rank: int, single: bool):
+    """Stacked W4A8 matmul with the CALDERA low-rank path fused in.
+
+    Same packed-codes int8-MXU matmul as :func:`_qmm_w4a8_stacked_kernel`,
+    plus the ``x @ (L @ R).T`` factor contribution computed in the SAME grid
+    step: the layer's ``R`` slab is DMA'd once per row block (its index_map
+    ignores ``j``, so Mosaic elides the re-fetch across output blocks) and
+    ``x @ R.T`` lands in VMEM scratch at ``j == 0``; each output block then
+    adds ``xr @ L_block.T`` where ``L_block`` is the (block_n, rank) slab of
+    the per-projection factors, concatenated along N in the same order as
+    the packed rows. This removes the XLA ``dynamic_index_in_dim`` factor
+    slices of the unfused path, which materialize an HBM copy of every
+    factor matrix every layer (~3x the compulsory factor traffic).
+    ``pid_ref[j]`` gives the projection id of output block ``j`` (scalar
+    prefetch), selecting the (lane-aligned) rank window of the scratch.
+    """
+    del l_ref
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _xr():
+        # chunk the K contraction so the int8->bf16 cast of the R slab
+        # never materializes more than ~1 MB of converted values in VMEM
+        K_ = y_ref.shape[1]
+        sumR = R_ref.shape[1]
+        kc = K_
+        while kc > 2048:
+            kc //= 2
+        xr = jnp.zeros((y_ref.shape[0], sumR), jnp.float32)
+        for c in range(K_ // kc):
+            Rc = (R_ref[0, :, c * kc:(c + 1) * kc]
+                  .astype(jnp.float32).astype(jnp.bfloat16))   # (sumR, kc)
+            xr += jax.lax.dot_general(
+                y_ref[:, c * kc:(c + 1) * kc], Rc,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (TM, sumR)
+        xr_ref[:] = xr * Rs_ref[0, :, 0][None, :]
+
+    f = _pack_factor(num_bits)
+    maxq = 2 ** (num_bits - 1) - 1
+    mask = (1 << num_bits) - 1
+    plane_len = w_ref.shape[2]
+    TM = xq_ref.shape[0]
+    TN = w_ref.shape[1]
+    xq = xq_ref[:]
+    acc = jnp.zeros((TM, TN), jnp.int32)
+    for c in range(plane_len // chunk_bytes):
+        chunk = w_ref[0, :, c * chunk_bytes:(c + 1) * chunk_bytes]
+        chunk = chunk.astype(jnp.int32)
+        for p in range(f):
+            u = (((chunk >> (num_bits * (f - 1 - p))) & mask)
+                 - maxq).astype(jnp.int8)
+            koff = p * plane_len + c * chunk_bytes
+            acc += jax.lax.dot_general(
+                xq[:, koff:koff + chunk_bytes], u,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+    if single:
+        xr_j = xr_ref[:]                       # n_proj == 1: whole scratch
+    else:
+        xr_j = xr_ref[:, pl.ds(pid_ref[j] * rank, rank)]  # rank % 128 == 0
+    Lb = L_ref[0].astype(jnp.float32).astype(jnp.bfloat16)   # (TN, rank)
+    ylr = jax.lax.dot_general(
+        xr_j.astype(jnp.bfloat16), Lb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc.astype(jnp.float32)
+                * s_ref[0, :, 0][None, :] * sx_ref[:, 0][:, None]
+                + ylr * Ls_ref[0, :, 0][None, :])
+
+
+def lr_stacked_supported(splits: Tuple[int, ...], ranks: Tuple[int, ...],
+                         block_n: int = 256) -> bool:
+    """Whether the fused-factor stacked kernel supports this fusion group:
+    uniform rank, lane-aligned rank windows (or a single projection), and a
+    reasonable (>= 128) common output block size."""
+    if len(set(ranks)) != 1:
+        return False
+    if len(splits) > 1 and ranks[0] % 128 != 0:
+        return False
+    block_n = min(block_n, min(splits))
+    while any(n % block_n for n in splits):
+        block_n //= 2
+    return block_n >= 128
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bits", "rank", "splits", "block_m", "block_n",
+                     "interpret"))
+def quantized_matmul_w4a8_lr_stacked(
+    x: jax.Array,
+    packed: jax.Array,       # (layers, sumN, K/f) uint8
+    row_scales: jax.Array,   # (layers, sumN, 1) f32
+    layer: jax.Array,        # () or (1,) int32
+    R: jax.Array,            # (layers, n_proj * rank, K) int8 codes
+    R_scale: jax.Array,      # (layers, n_proj * rank, 1) f32
+    L_cat: jax.Array,        # (layers, sumN, rank) int8 codes, N-concat
+    L_scale_cat: jax.Array,  # (layers, sumN, 1) f32
+    num_bits: int,
+    rank: int,
+    splits: Tuple[int, ...],
+    block_m: int = 128,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """W4A8 + low-rank matmul against layer ``layer``: one kernel computes
+    ``x @ (dequant(packed) + L @ R).T`` for a fusion group of ``len(splits)``
+    same-input projections (scales applied; per-projection global scales and
+    biases stay with the caller). Factor numerics match
+    :func:`low_rank_matmul` exactly (bf16 dots, f32 rank-1 rescales), so the
+    fused and unfused paths agree to float-associativity noise.
+    """
+    f = _pack_factor(num_bits)
+    M, K = x.shape
+    N = packed.shape[1]
+    assert packed.shape[2] * f == K
+    assert sum(splits) == N and L_cat.shape[1] == N
+    assert R.shape[1] == len(splits) * rank
+    block_n = min(block_n, min(splits))
+    while any(n % block_n for n in splits):
+        block_n //= 2
+    plane_len = K // f
+    chunk_bytes = _pick_chunk(plane_len, 1, block_n)
+    single = len(splits) == 1
+
+    # projection id of each output block, in fusion order
+    pid = []
+    for i, n in enumerate(splits):
+        pid += [i] * (n // block_n)
+    pid = jnp.asarray(pid, jnp.int32)
+
+    xq, sx = quantize_activations_int8(x)
+    TM = min(block_m, _round_up(M, 32))
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
+    y = jnp.pad(x.astype(jnp.bfloat16), ((0, Mp - M), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Mp // TM, N // block_n),
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i, j, Lx, P: (i, 0)),
+            pl.BlockSpec((TM, K), lambda i, j, Lx, P: (i, 0)),
+            pl.BlockSpec((1, block_n, plane_len),
+                         lambda i, j, Lx, P: (Lx[0], j, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda i, j, Lx, P: (Lx[0], j, 0)),
+            pl.BlockSpec((TM, 1), lambda i, j, Lx, P: (i, 0)),
+            pl.BlockSpec((1, R.shape[1], K),
+                         lambda i, j, Lx, P: (Lx[0], 0, 0)),
+            pl.BlockSpec((1, R.shape[1], 1),
+                         lambda i, j, Lx, P: (Lx[0], 0, 0)),
+            pl.BlockSpec((1, block_n, rank),
+                         lambda i, j, Lx, P: (Lx[0], j, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda i, j, Lx, P: (Lx[0], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j, Lx, P: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((TM, R.shape[1]), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_w4a8_lr_stacked_kernel, num_bits=num_bits,
+                          chunk_bytes=chunk_bytes, rank=rank, single=single),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), pid, xq, y, packed,
+      row_scales.astype(jnp.float32), sx, R, R_scale.astype(jnp.float32),
+      L_cat, L_scale_cat.astype(jnp.float32))
+    return out[:M]
+
+
 def _bf16_stacked_kernel(l_ref, x_ref, w_ref, o_ref):
     del l_ref
     o_ref[:] = jax.lax.dot_general(

@@ -163,3 +163,95 @@ class TestModelInt8Factors:
                                                   lm_head_int8=False)
         fp = fused.fuse_stacked(sp8)
         assert fp.layers.qkv.R.dtype == jnp.bfloat16
+
+
+class TestFusedFactorKernelPath:
+    """A config wide enough (rank 128, all N_i multiples of 128) takes the
+    single-kernel fused-factor path (``FusedW4A8Linear.L_cat``); its decode
+    must match the unfused stacked int8-factor path (same factor
+    quantization, different fusion)."""
+
+    def _wide(self):
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import (
+            ModelConfig)
+        cfg = ModelConfig(vocab_size=128, hidden_size=256,
+                          intermediate_size=384, num_layers=2, num_heads=2,
+                          num_kv_heads=2, head_dim=128, max_seq_len=32)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=128,
+                           iters=1, lplr_iters=1)
+        qparams, _ = compress_model(params, cp)
+
+        def convert(lp):
+            fields = {}
+            for name in llama.LayerParams._fields:
+                lin = getattr(lp, name)
+                if isinstance(lin, CalderaLinear):
+                    W = (lin.materialize() / lin.global_scale
+                         - lin.L.astype(jnp.float32)
+                         @ lin.R.astype(jnp.float32))
+                    fields[name] = compress_linear(
+                        W, lin.L.astype(jnp.float32),
+                        lin.R.astype(jnp.float32), lin.num_bits,
+                        global_scale=float(lin.global_scale), bias=lin.b,
+                        mode="w4a8")
+                else:
+                    fields[name] = lin
+            return llama.LayerParams(**fields)
+
+        model = llama.ModelParams(
+            embed=qparams.embed,
+            layers=[convert(lp) for lp in qparams.layers],
+            final_norm=qparams.final_norm, lm_head=qparams.lm_head)
+        return cfg, stacked.stack_layers(model)
+
+    def test_lcat_built_and_decode_matches_stacked(self):
+        cfg, sp = self._wide()
+        fp8 = fused.quantize_factors_int8_fused(fused.fuse_stacked(sp),
+                                                fuse_factor_kernel=True)
+        assert fp8.layers.qkv.L_cat is not None       # fused kernel path on
+        assert fp8.layers.qkv.Ls == ()                # single storage copy
+        assert fp8.layers.gateup.L_cat is not None
+        sp8 = stacked.quantize_model_factors_int8(sp)
+
+        # per-projection: the single-kernel path must match the unfused
+        # stacked int8 pieces to float-associativity noise
+        y = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.hidden_size))
+        l = jnp.asarray(0)
+        q, k, v = fused._apply_fused(fp8.layers.qkv, l, y, True)
+        for out, lin in [(q, sp8.layers.q_proj), (k, sp8.layers.k_proj),
+                         (v, sp8.layers.v_proj)]:
+            yq = K.quantized_matmul_w4a8_stacked(
+                y, lin.packed, lin.scales, l, lin.num_bits, interpret=True)
+            ref = (yq + stacked._low_rank_layer(lin, l, y)
+                   ) * lin.global_scale[0]
+            rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+            assert rel < 1e-5
+
+        # end-to-end: int8 activation requantization amplifies f32
+        # association noise (a 1e-7 input delta can flip a round()),
+        # so whole-step logits only agree loosely
+        toks = jax.random.randint(jax.random.PRNGKey(3), (2,), 0,
+                                  cfg.vocab_size)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        ca = llama.KVCache.create(cfg, 2, 16)
+        cb = llama.KVCache.create(cfg, 2, 16)
+        la, _ = fused.decode_step_fused(fp8, toks, pos, ca, cfg,
+                                        interpret=True)
+        lb, _ = stacked.decode_step_w4a8(sp8, toks, pos, cb, cfg,
+                                         interpret=True)
+        rel = (np.linalg.norm(np.asarray(lb - la))
+               / np.linalg.norm(np.asarray(la)))
+        assert rel < 0.05
+
+    def test_prefill_lcat_matches_xla_attention(self):
+        cfg, sp = self._wide()
+        fp8 = fused.quantize_factors_int8_fused(fused.fuse_stacked(sp),
+                                                fuse_factor_kernel=True)
+        toks = jax.random.randint(jax.random.PRNGKey(5), (1, 8), 0,
+                                  cfg.vocab_size)
+        ca = llama.KVCache.create(cfg, 2, 16)
+        logits, cache = fused.prefill_into_slot_fused(
+            fp8, toks, jnp.asarray(1), ca, cfg, interpret=True)
+        assert logits.shape == (cfg.vocab_size,)
+        assert np.isfinite(np.asarray(logits)).all()

@@ -129,3 +129,62 @@ class TestHadamard:
     def test_non_pow2_raises(self):
         with pytest.raises(ValueError):
             K.fwht(jnp.ones((2, 48)))
+
+
+class TestLRStackedFused:
+    """quantized_matmul_w4a8_lr_stacked: packed matmul + low-rank factor
+    path in ONE kernel must match the composition of the unfused pieces."""
+
+    def _build(self, rng, layers, splits, K_, r):
+        sumN, sumR = sum(splits), len(splits) * r
+        W = jnp.asarray(rng.standard_normal((layers, sumN, K_)), jnp.float32)
+        pk, sc = jax.vmap(lambda w: K.pack_rowscale(w, 4))(W)
+        Rb = jnp.asarray(rng.standard_normal((layers, sumR, K_)) * 0.05,
+                         jnp.float32)
+        Lb = jnp.asarray(rng.standard_normal((layers, sumN, r)) * 0.05,
+                         jnp.float32)
+        R8, Rs = K.quantize_int8_rowwise(Rb)
+        L8, Ls = K.quantize_int8_rowwise(Lb)
+        return pk, sc, R8, Rs, L8, Ls
+
+    def _reference(self, x, pk, sc, R8, Rs, L8, Ls, l, splits, r):
+        yq = K.quantized_matmul_w4a8_stacked(x, pk, sc, l, 4, interpret=True)
+        refs, offn = [], 0
+        for i, N_i in enumerate(splits):
+            ylr = K.low_rank_matmul(
+                x, L8[l, offn:offn + N_i], R8[l, i * r:(i + 1) * r],
+                Ls[l, offn:offn + N_i], Rs[l, i * r:(i + 1) * r])
+            refs.append(yq[:, offn:offn + N_i] + ylr)
+            offn += N_i
+        return jnp.concatenate(refs, axis=1)
+
+    def test_multi_projection_matches_unfused(self):
+        rng = np.random.default_rng(0)
+        splits, r, K_ = (512, 256, 256), 128, 512
+        pk, sc, R8, Rs, L8, Ls = self._build(rng, 3, splits, K_, r)
+        x = jnp.asarray(rng.standard_normal((8, K_)), jnp.float32)
+        out = K.quantized_matmul_w4a8_lr_stacked(
+            x, pk, sc, jnp.asarray(1), R8, Rs, L8, Ls, num_bits=4, rank=r,
+            splits=splits, interpret=True)
+        ref = self._reference(x, pk, sc, R8, Rs, L8, Ls, 1, splits, r)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 1e-5
+
+    def test_single_projection_any_rank(self):
+        rng = np.random.default_rng(1)
+        splits, r, K_ = (512,), 24, 256
+        pk, sc, R8, Rs, L8, Ls = self._build(rng, 2, splits, K_, r)
+        x = jnp.asarray(rng.standard_normal((3, K_)), jnp.float32)
+        out = K.quantized_matmul_w4a8_lr_stacked(
+            x, pk, sc, jnp.asarray(0), R8, Rs, L8, Ls, num_bits=4, rank=r,
+            splits=splits, interpret=True)
+        ref = self._reference(x, pk, sc, R8, Rs, L8, Ls, 0, splits, r)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 1e-5
+
+    def test_supported_predicate(self):
+        assert K.lr_stacked_supported((4096, 4096, 4096), (128, 128, 128))
+        assert not K.lr_stacked_supported((4096, 4096), (128, 64))
+        assert not K.lr_stacked_supported((4096, 4096), (64, 64))
+        assert K.lr_stacked_supported((4096,), (64,))
+        assert not K.lr_stacked_supported((128, 64), (128, 128))
