@@ -202,32 +202,22 @@ def _row_out(out: Array, lin, tp_axis: Optional[str]) -> Array:
     return jax.lax.psum(out, tp_axis)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "interpret", "tp_axis"),
-                   donate_argnames=("cache",))
-def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
-                     cache: KVCache, config: ModelConfig,
-                     interpret: bool = False,
-                     tp_axis: Optional[str] = None) -> Tuple[Array, KVCache]:
-    """Fast decode: fori_loop over layers with scalar-prefetch weight access.
+def decode_layers_w4a8(lp: LayerParams, x: Array, pos: Array, cache: KVCache,
+                       config: ModelConfig, interpret: bool = False,
+                       tp_axis: Optional[str] = None
+                       ) -> Tuple[Array, KVCache]:
+    """Run ``config.num_layers`` stacked w4a8 transformer layers on one-token
+    activations ``x`` (B, h), updating ``cache`` rows at ``[l, :, pos]``.
 
-    Requires every projection to be a stacked w4a8 :class:`CalderaLinear`.
-    Unlike the scan path, the stacked weights are never sliced (XLA
-    materializes a full per-layer copy of scanned operands before a Pallas
-    call — ~3x the HBM traffic); the kernel's index_map selects the layer
-    slab directly. The KV cache is donated and updated in place.
-
-    ``cache`` may be a bf16 :class:`KVCache` or an int8
-    :class:`llama.QuantKVCache` (half the cache bandwidth, double the
-    context capacity); the branch is a trace-time pytree-structure check.
+    The shared layer loop of :func:`decode_step_w4a8` (single chip / TP) and
+    :func:`parallel.pp.decode_step_w4a8_pp` (pipeline stages run it on their
+    local layer slab with a local config).
     """
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
     quant_kv = isinstance(cache, llama.QuantKVCache)
-    B = tokens.shape[0]
+    B = x.shape[0]
     T = cache.k.shape[2]
-    lp = params.layers
-    x = params.embed[tokens].astype(jnp.float32)          # (B, h)
     cos, sin = llama.rope_tables(config, pos[:, None])
     valid = jnp.arange(T)[None, :] <= pos[:, None]
     mask = jnp.where(valid, 0.0, -1e30)[:, None, None, None, :]
@@ -292,7 +282,31 @@ def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
         x = x + _row_out(qmm(lp.down_proj, l, h), lp.down_proj, tp_axis)
         return x, cache
 
-    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    return jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret", "tp_axis"),
+                   donate_argnames=("cache",))
+def decode_step_w4a8(params: StackedModelParams, tokens: Array, pos: Array,
+                     cache: KVCache, config: ModelConfig,
+                     interpret: bool = False,
+                     tp_axis: Optional[str] = None) -> Tuple[Array, KVCache]:
+    """Fast decode: fori_loop over layers with scalar-prefetch weight access.
+
+    Requires every projection to be a stacked w4a8 :class:`CalderaLinear`.
+    Unlike the scan path, the stacked weights are never sliced (XLA
+    materializes a full per-layer copy of scanned operands before a Pallas
+    call — ~3x the HBM traffic); the kernel's index_map selects the layer
+    slab directly. The KV cache is donated and updated in place.
+
+    ``cache`` may be a bf16 :class:`KVCache` or an int8
+    :class:`llama.QuantKVCache` (half the cache bandwidth, double the
+    context capacity); the branch is a trace-time pytree-structure check.
+    """
+    x = params.embed[tokens].astype(jnp.float32)          # (B, h)
+    x, cache = decode_layers_w4a8(params.layers, x, pos, cache, config,
+                                  interpret=interpret, tp_axis=tp_axis)
     logits = llama._logits(
         x[:, None, :],
         llama.ModelParams(params.embed, [], params.final_norm,
