@@ -38,6 +38,8 @@ class Request:
     prompt: np.ndarray                  # (S,) int32
     max_new_tokens: int = 64
     temperature: float = 0.0            # 0 => greedy
+    top_k: int = 0                      # 0 => disabled
+    top_p: float = 1.0                  # 1 => disabled
     eos_token: Optional[int] = None
     priority: int = 0                   # higher admits first (paged engine)
     tenant: int = 0                     # fair-share accounting id
@@ -140,7 +142,8 @@ class ServingEngine:
                 self.params, prompt, jnp.asarray(slot), self.cache,
                 self.config, self.use_pallas, self.interpret,
                 last_pos=jnp.asarray(n - 1))
-            tok = int(self._sample(logits[None, :], req.temperature)[0])
+            tok = int(self._sample(logits[None, :], req.temperature,
+                                   req.top_k, req.top_p)[0])
             st = _Slot(req=req, pos=len(req.prompt), generated=[tok],
                        start_time=time.time())
             self.slots[slot] = st
@@ -158,9 +161,13 @@ class ServingEngine:
             self.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache,
             self.config, self.use_pallas, self.interpret)
         temps = np.zeros(self.max_slots, np.float32)
+        ks = np.zeros(self.max_slots, np.int32)
+        ps = np.ones(self.max_slots, np.float32)
         for s, st in self.slots.items():
             temps[s] = st.req.temperature
-        sampled = np.asarray(self._sample(logits, temps))
+            ks[s] = st.req.top_k
+            ps[s] = st.req.top_p
+        sampled = np.asarray(self._sample(logits, temps, ks, ps))
         for s in list(self.slots):
             st = self.slots[s]
             st.generated.append(int(sampled[s]))
@@ -168,14 +175,15 @@ class ServingEngine:
             self.tokens_generated += 1
             self._maybe_finish(s)
 
-    def _sample(self, logits, temperature):
-        """Greedy when temperature <= 0, else temperature sampling."""
+    def _sample(self, logits, temperature, top_k=0, top_p=1.0):
+        """Greedy when temperature <= 0, else temperature sampling with
+        optional per-row top-k / top-p filtering (see serve.sampling)."""
+        from ee274_convexcaldera_llm_quantization_tpu.serve import sampling
         temps = jnp.atleast_1d(jnp.asarray(temperature, jnp.float32))
-        greedy = jnp.argmax(logits, axis=-1)
         self._key, sub = jax.random.split(self._key)
-        scaled = logits / jnp.maximum(temps[:, None], 1e-6)
-        sampled = jax.random.categorical(sub, scaled, axis=-1)
-        return jnp.where(temps > 0, sampled, greedy)
+        return sampling.sample_logits(
+            sub, logits, temps, jnp.atleast_1d(jnp.asarray(top_k, jnp.int32)),
+            jnp.atleast_1d(jnp.asarray(top_p, jnp.float32)))
 
     def _maybe_finish(self, slot: int) -> None:
         st = self.slots[slot]

@@ -80,7 +80,8 @@ class FastServingEngine(ServingEngine):
                 self.params, jnp.asarray(padded, jnp.int32)[None, :],
                 jnp.asarray(slot), self.cache, self.config,
                 interpret=self.interpret, last_pos=jnp.asarray(n - 1))
-            tok = int(self._sample(logits[None, :], req.temperature)[0])
+            tok = int(self._sample(logits[None, :], req.temperature,
+                                   req.top_k, req.top_p)[0])
             st = _Slot(req=req, pos=n, generated=[tok],
                        start_time=time.time())
             self.slots[slot] = st
@@ -99,9 +100,13 @@ class FastServingEngine(ServingEngine):
             self.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache,
             self.config, interpret=self.interpret)
         temps = np.zeros(self.max_slots, np.float32)
+        ks = np.zeros(self.max_slots, np.int32)
+        ps = np.ones(self.max_slots, np.float32)
         for s, st in self.slots.items():
             temps[s] = st.req.temperature
-        sampled = np.asarray(self._sample(logits, temps))
+            ks[s] = st.req.top_k
+            ps[s] = st.req.top_p
+        sampled = np.asarray(self._sample(logits, temps, ks, ps))
         for s in list(self.slots):
             st = self.slots[s]
             st.generated.append(int(sampled[s]))

@@ -103,7 +103,9 @@ class PagedServingEngine:
                     self.params, jnp.asarray(req.prompt, jnp.int32)[None, :],
                     self.pool, pt, self.config, self.use_pallas,
                     self.interpret)
-            tok = int(jnp.argmax(logits))
+            tok = int(self._sample(jnp.atleast_2d(logits)[-1:],
+                                   req.temperature, req.top_k,
+                                   req.top_p)[0])
             self._record(uid, tok)
         if not self._slot_of:
             return
@@ -141,7 +143,16 @@ class PagedServingEngine:
             self.params, jnp.asarray(tokens), jnp.asarray(pos), self.pool,
             jnp.asarray(tables), self.config, self.use_pallas,
             self.interpret, active=jnp.asarray(active))
-        sampled = np.asarray(jnp.argmax(logits, axis=-1))
+        temps = np.zeros(B, np.float32)
+        ks = np.zeros(B, np.int32)
+        ps = np.ones(B, np.float32)
+        for uid in uids:
+            s = self._slot_of[uid]
+            req = self._requests[uid]
+            temps[s] = req.temperature
+            ks[s] = req.top_k
+            ps[s] = req.top_p
+        sampled = np.asarray(self._sample(logits, temps, ks, ps))
         for uid in uids:
             req = self._requests[uid]
             s = self._slot_of[uid]
@@ -152,6 +163,15 @@ class PagedServingEngine:
             if finished[uid] or is_eos or \
                     len(self._generated[uid]) >= req.max_new_tokens:
                 self._finish(uid, "eos" if is_eos else "length")
+
+    def _sample(self, logits, temperature, top_k=0, top_p=1.0):
+        from ee274_convexcaldera_llm_quantization_tpu.serve import sampling
+        self._key, sub = jax.random.split(self._key)
+        return sampling.sample_logits(
+            sub, logits, jnp.atleast_1d(jnp.asarray(temperature,
+                                                    jnp.float32)),
+            jnp.atleast_1d(jnp.asarray(top_k, jnp.int32)),
+            jnp.atleast_1d(jnp.asarray(top_p, jnp.float32)))
 
     def _record(self, uid: int, tok: int) -> None:
         """Record the token sampled from prefill logits."""
