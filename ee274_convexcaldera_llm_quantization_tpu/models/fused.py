@@ -385,6 +385,132 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def prefill_chunk_fused(params: FusedStackedParams, tokens: Array,
+                        slot: Array, offset: Array, cache,
+                        config: ModelConfig, interpret: bool = False,
+                        last_pos: Optional[Array] = None):
+    """Prefill one (1, C) chunk of a prompt at position ``offset`` into
+    ``slot`` — chunked prefill for continuous batching.
+
+    Long prompts stream through in fixed-size chunks so the scheduler can
+    interleave decode steps for active requests between chunks (bounding
+    the decode-latency stall to one chunk instead of one whole prompt —
+    the standard chunked-prefill/piggyback schedule; the reference has no
+    serving path at all). The chunk attends to every previously written
+    cache position (``< offset``, earlier chunks) plus causally within
+    itself; its K/V are written to the cache at ``offset``.
+
+    ``last_pos`` is chunk-relative; the returned logits row is only
+    meaningful on the final chunk of a prompt. Callers must guarantee
+    ``offset + C <= max_seq_len`` (the engine uses aligned chunks).
+    """
+    quant_kv = isinstance(cache, QuantKVCache)
+    head_major = isinstance(cache, HeadMajorQuantKVCache)
+    C = tokens.shape[1]
+    T = cache.k.shape[3] if head_major else cache.k.shape[2]
+    lp = params.layers
+    x = params.embed[tokens[0]].astype(jnp.float32)       # (C, h)
+    positions = offset + jnp.arange(C)
+    cos, sin = llama.rope_tables(config, positions[None, :])
+    # key j visible to chunk query i iff j <= offset + i
+    mask = jnp.where(jnp.arange(T)[None, :] <= positions[:, None],
+                     0.0, -1e30)[None, None, None, :, :]
+
+    def body(l, carry):
+        x, cache = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], an, config.rms_norm_eps)[0]
+        q, k, v = _apply_fused(lp.qkv, l, y, interpret)
+        q = q.reshape(1, C, config.num_heads, config.head_dim)
+        k = k.reshape(1, C, config.num_kv_heads, config.head_dim)
+        v = v.reshape(1, C, config.num_kv_heads, config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        if head_major:
+            kq, ksc = llama.quantize_kv(k)       # (1,C,KVH,D), (1,C,KVH)
+            vq, vsc = llama.quantize_kv(v)
+            cache = HeadMajorQuantKVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, kq[0].transpose(1, 0, 2)[None, None],
+                    (l, slot, 0, offset, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, vq[0].transpose(1, 0, 2)[None, None],
+                    (l, slot, 0, offset, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.k_scale, ksc[0].T[None, None],
+                    (l, slot, 0, offset)),
+                jax.lax.dynamic_update_slice(
+                    cache.v_scale, vsc[0].T[None, None],
+                    (l, slot, 0, offset)))
+            slab = jax.tree.map(
+                lambda c: jax.lax.dynamic_index_in_dim(
+                    jax.lax.dynamic_index_in_dim(c, l, 0, keepdims=False),
+                    slot, 0, keepdims=False), cache)
+            attn = llama._attention_q8(
+                q, slab.k.transpose(1, 0, 2)[None],
+                slab.v.transpose(1, 0, 2)[None],
+                slab.k_scale.T[None], slab.v_scale.T[None],
+                mask).reshape(C, config.q_dim)
+        elif quant_kv:
+            kq, ksc = llama.quantize_kv(k)
+            vq, vsc = llama.quantize_kv(v)
+            cache = QuantKVCache(
+                jax.lax.dynamic_update_slice(cache.k, kq[None],
+                                             (l, slot, offset, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.v, vq[None],
+                                             (l, slot, offset, 0, 0)),
+                jax.lax.dynamic_update_slice(cache.k_scale, ksc[None],
+                                             (l, slot, offset, 0)),
+                jax.lax.dynamic_update_slice(cache.v_scale, vsc[None],
+                                             (l, slot, offset, 0)))
+            get = functools.partial(jax.lax.dynamic_index_in_dim, index=slot,
+                                    axis=0, keepdims=True)
+            kl = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
+            ksl = jax.lax.dynamic_index_in_dim(cache.k_scale, l, 0,
+                                               keepdims=False)
+            vsl = jax.lax.dynamic_index_in_dim(cache.v_scale, l, 0,
+                                               keepdims=False)
+            attn = llama._attention_q8(
+                q, get(kl), get(vl), get(ksl), get(vsl),
+                mask).reshape(C, config.q_dim)
+        else:
+            cache = KVCache(
+                jax.lax.dynamic_update_slice(
+                    cache.k, k.astype(cache.k.dtype)[None],
+                    (l, slot, offset, 0, 0)),
+                jax.lax.dynamic_update_slice(
+                    cache.v, v.astype(cache.v.dtype)[None],
+                    (l, slot, offset, 0, 0)))
+            kl = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
+            ck = jax.lax.dynamic_index_in_dim(kl, slot, 0, keepdims=True)
+            cv = jax.lax.dynamic_index_in_dim(vl, slot, 0, keepdims=True)
+            attn = llama._attention(q, ck, cv, mask).reshape(C, config.q_dim)
+        x = x + _apply_plain(lp.o_proj, l, attn, interpret)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
+        gate, up = _apply_fused(lp.gateup, l, y, interpret)
+        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                             interpret)
+        return x, cache
+
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    if last_pos is None:
+        x_last = x[-1:]
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, last_pos, 1, axis=0)
+    logits = llama._logits(
+        x_last[None],
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits[0, 0, :], cache
+
+
+@functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "flash"),
                    donate_argnames=("cache",))
 def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,

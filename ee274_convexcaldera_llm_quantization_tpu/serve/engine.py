@@ -99,12 +99,17 @@ class ServingEngine:
     def run(self, max_steps: Optional[int] = None) -> List[Completion]:
         """Run until every submitted request completes."""
         steps = 0
-        while (self.queue or self.slots) and (max_steps is None
-                                              or steps < max_steps):
+        while (self.queue or self.slots or self._pending()) and \
+                (max_steps is None or steps < max_steps):
             self.step()
             steps += 1
         done, self.completions = self.completions, []
         return done
+
+    def _pending(self) -> bool:
+        """Extra in-flight work beyond queue/slots (subclass hook — e.g.
+        partially prefilled chunked prompts)."""
+        return False
 
     def step(self) -> None:
         """One scheduler tick: admit + one batched decode step."""

@@ -43,12 +43,22 @@ class FastServingEngine(ServingEngine):
 
     def __init__(self, params, config: ModelConfig, max_slots: int = 8,
                  max_seq_len=None, interpret: bool = False, seed: int = 0,
-                 kv_int8: bool = False, flash_attn: bool = False):
+                 kv_int8: bool = False, flash_attn: bool = False,
+                 prefill_chunk: int = 0):
         super().__init__(params, config, max_slots=max_slots,
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
         self._fused = isinstance(params, fused.FusedStackedParams)
         self._flash = flash_attn
+        self._chunk = int(prefill_chunk)
+        self._prefilling = {}           # slot -> [req, next_offset]
+        if self._chunk:
+            if not self._fused:
+                raise ValueError("prefill_chunk requires fused params")
+            if self.max_seq_len % self._chunk:
+                raise ValueError(
+                    f"max_seq_len {self.max_seq_len} must be a multiple of "
+                    f"prefill_chunk {self._chunk} (aligned chunk writes)")
         if flash_attn:
             if not self._fused:
                 raise ValueError("flash_attn requires fused params "
@@ -64,6 +74,9 @@ class FastServingEngine(ServingEngine):
                                              self.max_seq_len)
 
     def _admit(self) -> None:
+        if self._chunk:
+            self._admit_chunked()
+            return
         if self._fused:
             prefill_fn = functools.partial(fused.prefill_into_slot_fused,
                                            flash=self._flash)
@@ -87,6 +100,42 @@ class FastServingEngine(ServingEngine):
             self.slots[slot] = st
             self.tokens_generated += 1
             self._maybe_finish(slot)
+
+    def _pending(self) -> bool:
+        return bool(self._prefilling)
+
+    def _admit_chunked(self) -> None:
+        """Chunked-prefill admission: claim free slots, then advance every
+        in-flight prompt by ONE chunk per scheduler tick, so decode steps
+        for active slots interleave between chunks (the decode stall per
+        tick is bounded by one chunk, not one whole prompt)."""
+        while self.queue and self.free_slots:
+            req = self.queue.popleft()
+            slot = self.free_slots.pop()
+            self._prefilling[slot] = [req, 0]
+        C = self._chunk
+        for slot in list(self._prefilling):
+            req, off = self._prefilling[slot]
+            n = len(req.prompt)
+            end = min(off + C, n)
+            chunk = np.zeros(C, np.int32)
+            chunk[:end - off] = req.prompt[off:end]
+            is_last = end >= n
+            logits, self.cache = fused.prefill_chunk_fused(
+                self.params, jnp.asarray(chunk)[None, :], jnp.asarray(slot),
+                jnp.asarray(off), self.cache, self.config,
+                interpret=self.interpret,
+                last_pos=jnp.asarray((n - 1 - off) if is_last else 0))
+            if is_last:
+                del self._prefilling[slot]
+                tok = int(self._sample(logits[None, :], req.temperature,
+                                       req.top_k, req.top_p)[0])
+                self.slots[slot] = _Slot(req=req, pos=n, generated=[tok],
+                                         start_time=time.time())
+                self.tokens_generated += 1
+                self._maybe_finish(slot)
+            else:
+                self._prefilling[slot][1] = end
 
     def _decode(self) -> None:
         decode_fn = (fused.decode_step_fused if self._fused
