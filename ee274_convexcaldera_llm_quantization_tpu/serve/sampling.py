@@ -29,13 +29,16 @@ Array = jax.Array
 _NEG_INF = jnp.float32(-1e30)
 
 
-@jax.jit
-def sample_logits(key: Array, logits: Array, temperature: Array,
-                  top_k: Array, top_p: Array) -> Array:
-    """Sample one token per row. ``logits`` (B, V) float; ``temperature``
-    and ``top_p`` (B,) float32; ``top_k`` (B,) int32 (0 disables).
+def filter_logits(logits: Array, temperature: Array, top_k: Array,
+                  top_p: Array) -> Array:
+    """Temperature-scale and top-k/top-p-filter logits per row.
 
-    Returns (B,) int32 token ids.
+    ``logits`` (B, V) float; ``temperature``/``top_p`` (B,) float32;
+    ``top_k`` (B,) int32 (0 disables). Returns (B, V) float32 filtered
+    logits (dropped entries at -1e30) whose softmax is the sampling
+    distribution. Shared by :func:`sample_logits` and speculative
+    decoding's rejection sampler (which must evaluate the *identical*
+    distribution for draft and target).
     """
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
@@ -60,7 +63,22 @@ def sample_logits(key: Array, logits: Array, temperature: Array,
                     axis=-1, keepdims=True)
 
     keep = (scaled >= thr_k) & (scaled >= thr_p)
-    filtered = jnp.where(keep, scaled, _NEG_INF)
+    return jnp.where(keep, scaled, _NEG_INF)
+
+
+@jax.jit
+def sample_logits(key: Array, logits: Array, temperature: Array,
+                  top_k: Array, top_p: Array) -> Array:
+    """Sample one token per row. ``logits`` (B, V) float; ``temperature``
+    and ``top_p`` (B,) float32; ``top_k`` (B,) int32 (0 disables).
+
+    Returns (B,) int32 token ids.
+    """
+    logits = logits.astype(jnp.float32)
+    B = logits.shape[0]
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (B,))
+    filtered = filter_logits(logits, temperature, top_k, top_p)
     sampled = jax.random.categorical(key, filtered, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)

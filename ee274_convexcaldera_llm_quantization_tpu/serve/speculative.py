@@ -1,0 +1,445 @@
+"""Speculative decoding on the fused W4A8 serving path.
+
+A cheap draft model proposes ``gamma`` tokens autoregressively; the target
+model scores all ``gamma + 1`` positions in ONE multi-token verify step
+(one read of the packed weights amortized over the whole window — on TPU
+the decode step is HBM-bound on weight reads, so a verify step costs
+barely more than a single-token step). Standard speculative-sampling
+acceptance (Leviathan et al. / Chen et al.) makes the output distribution
+EXACTLY the target model's: draft tokens are accepted with probability
+``min(1, p/q)`` and the first rejection is resampled from the residual
+``max(p - q, 0)``; with greedy decoding this degenerates to longest-
+prefix-match and the emitted stream equals vanilla greedy decode
+token-for-token.
+
+The reference generates strictly greedily, one token per forward, through
+HF ``model.generate`` (reference ``main.py:358``) — it has no serving
+path at all; this module is beyond-parity TPU serving design.
+
+Implementation notes (TPU-first):
+
+- The verify step is a batched, per-row-position multi-token forward
+  (:func:`verify_step_fused`), the batched generalization of
+  ``fused.prefill_chunk_fused``: KV for all ``S`` window positions is
+  written first (per-row ``dynamic_update_slice`` — in-place aliasing,
+  no cache copy), then attention masks each query ``i`` to
+  ``j <= pos[b] + i``.
+- Rejection bookkeeping is pure device arithmetic on the sampling
+  distributions (one-hot for greedy rows, filtered softmax otherwise) —
+  greedy and sampled rows coexist in one batch, like
+  ``sampling.sample_logits``.
+- Rolled-back (rejected) cache rows are never purged: positions
+  ``> pos[b]`` hold stale KV that every later step overwrites *before*
+  its queries can attend there (writes precede attention within a layer,
+  and the mask never reaches past the freshly written window).
+- The draft runs ``gamma + 1`` steps, not ``gamma``: the extra step never
+  contributes a proposal, it only writes the draft's own KV for the last
+  drafted token so that a fully-accepted window (+ bonus token) leaves
+  the draft cache complete. One cheap draft step buys uniform cache
+  bookkeeping with no variable-shape catch-up path.
+
+The draft can be any servable parameterization over the same vocabulary:
+a fused/stacked W4A8 model (e.g. the same checkpoint CALDERA-compressed
+harder — the natural pairing in this framework: a 2-bit e8p draft
+proposing for the 4-bit target), a dense ``llama.ModelParams`` (a small
+separate draft), or a layer-truncated early-exit copy of the target
+(:func:`truncate_draft`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ee274_convexcaldera_llm_quantization_tpu.models import fused, llama
+from ee274_convexcaldera_llm_quantization_tpu.models import stacked
+from ee274_convexcaldera_llm_quantization_tpu.models.config import ModelConfig
+from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+    HeadMajorQuantKVCache, KVCache, QuantKVCache)
+from ee274_convexcaldera_llm_quantization_tpu.serve import sampling
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# multi-token verify step
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def verify_step_fused(params: fused.FusedStackedParams, tokens: Array,
+                      pos: Array, cache, config: ModelConfig,
+                      interpret: bool = False):
+    """Score an ``S``-token window per sequence in one fused-path forward.
+
+    ``tokens``: (B, S) int32 — token ``i`` of row ``b`` sits at position
+    ``pos[b] + i``. KV for every window position is written to ``cache``;
+    logits are returned for ALL positions: ``logits[b, i]`` is the
+    target's next-token distribution after ``tokens[b, :i + 1]``.
+
+    ``cache`` may be bf16 :class:`KVCache`, int8 :class:`QuantKVCache`, or
+    int8 head-major :class:`HeadMajorQuantKVCache`. Returns
+    ``(logits (B, S, V) f32, cache)``.
+    """
+    quant_kv = isinstance(cache, QuantKVCache)
+    head_major = isinstance(cache, HeadMajorQuantKVCache)
+    B, S = tokens.shape
+    T = cache.k.shape[3] if head_major else cache.k.shape[2]
+    lp = params.layers
+    h = config.hidden_size
+    x = params.embed[tokens].astype(jnp.float32)              # (B, S, h)
+    positions = pos[:, None] + jnp.arange(S)[None, :]          # (B, S)
+    cos, sin = llama.rope_tables(config, positions)
+    mask = jnp.where(jnp.arange(T)[None, None, :] <= positions[:, :, None],
+                     0.0, -1e30)[:, None, None]                # (B,1,1,S,T)
+
+    def body(l, carry):
+        x, cache = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x, an, config.rms_norm_eps).reshape(B * S, h)
+        q, k, v = fused._apply_fused(lp.qkv, l, y, interpret)
+        q = q.reshape(B, S, config.num_heads, config.head_dim)
+        k = k.reshape(B, S, config.num_kv_heads, config.head_dim)
+        v = v.reshape(B, S, config.num_kv_heads, config.head_dim)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        # write the whole window, then attend (the mask stops each query at
+        # its own position, so reading back freshly written rows is exact)
+        if head_major:
+            kq, ksc = llama.quantize_kv(k)      # (B,S,KVH,D), (B,S,KVH)
+            vq, vsc = llama.quantize_kv(v)
+            ck, cv, cks, cvs = cache
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[b].transpose(1, 0, 2)[None, None],
+                    (l, b, 0, pos[b], 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[b].transpose(1, 0, 2)[None, None],
+                    (l, b, 0, pos[b], 0))
+                cks = jax.lax.dynamic_update_slice(
+                    cks, ksc[b].T[None, None], (l, b, 0, pos[b]))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, vsc[b].T[None, None], (l, b, 0, pos[b]))
+            cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+            attn = llama._attention_q8(
+                q,
+                jax.lax.dynamic_index_in_dim(
+                    cache.k, l, 0, keepdims=False).transpose(0, 2, 1, 3),
+                jax.lax.dynamic_index_in_dim(
+                    cache.v, l, 0, keepdims=False).transpose(0, 2, 1, 3),
+                jax.lax.dynamic_index_in_dim(
+                    cache.k_scale, l, 0, keepdims=False).transpose(0, 2, 1),
+                jax.lax.dynamic_index_in_dim(
+                    cache.v_scale, l, 0, keepdims=False).transpose(0, 2, 1),
+                mask).reshape(B, S, config.q_dim)
+        elif quant_kv:
+            kq, ksc = llama.quantize_kv(k)
+            vq, vsc = llama.quantize_kv(v)
+            ck, cv, cks, cvs = cache
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[b][None, None], (l, b, pos[b], 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[b][None, None], (l, b, pos[b], 0, 0))
+                cks = jax.lax.dynamic_update_slice(
+                    cks, ksc[b][None, None], (l, b, pos[b], 0))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, vsc[b][None, None], (l, b, pos[b], 0))
+            cache = QuantKVCache(ck, cv, cks, cvs)
+            attn = llama._attention_q8(
+                q,
+                jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.k_scale, l, 0,
+                                             keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v_scale, l, 0,
+                                             keepdims=False),
+                mask).reshape(B, S, config.q_dim)
+        else:
+            ck, cv = cache
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k[b].astype(ck.dtype)[None, None],
+                    (l, b, pos[b], 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v[b].astype(cv.dtype)[None, None],
+                    (l, b, pos[b], 0, 0))
+            cache = KVCache(ck, cv)
+            attn = llama._attention(
+                q,
+                jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False),
+                mask).reshape(B, S, config.q_dim)
+        x = x + fused._apply_plain(
+            lp.o_proj, l, attn.reshape(B * S, config.q_dim),
+            interpret).reshape(B, S, h)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x, mn, config.rms_norm_eps).reshape(B * S, h)
+        gate, up = fused._apply_fused(lp.gateup, l, y, interpret)
+        x = x + fused._apply_plain(
+            lp.down_proj, l, jax.nn.silu(gate) * up,
+            interpret).reshape(B, S, h)
+        return x, cache
+
+    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    logits = llama._logits(
+        x,
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# draft dispatch + sampling distributions
+
+
+def _draft_decode(draft_params, tokens, pos, dcache, dconfig, interpret):
+    """One draft decode step; dispatch on the draft parameterization."""
+    if isinstance(draft_params, fused.FusedStackedParams):
+        return fused.decode_step_fused(draft_params, tokens, pos, dcache,
+                                       dconfig, interpret=interpret)
+    if isinstance(draft_params, stacked.StackedModelParams):
+        return stacked.decode_step_w4a8(draft_params, tokens, pos, dcache,
+                                        dconfig, interpret=interpret)
+    return llama.decode_step_batched(draft_params, tokens, pos, dcache,
+                                     dconfig, interpret=interpret)
+
+
+def _dist(logits: Array, temperature: Array, top_k: Array,
+          top_p: Array) -> Array:
+    """Per-row sampling distribution: filtered softmax for ``temperature
+    > 0`` rows, one-hot argmax for greedy rows (so greedy acceptance is
+    the exact longest-prefix-match special case of rejection sampling)."""
+    B, V = logits.shape
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (B,))
+    soft = jax.nn.softmax(
+        sampling.filter_logits(logits, temperature, top_k, top_p), axis=-1)
+    hard = jax.nn.one_hot(jnp.argmax(logits, axis=-1), V, dtype=jnp.float32)
+    return jnp.where((temperature > 0)[:, None], soft, hard)
+
+
+def speculative_accept(d: Array, q_dists: Array, p_dists: Array,
+                       key: Array) -> Tuple[Array, Array]:
+    """Speculative-sampling acceptance (pure device arithmetic).
+
+    ``d`` (B, gamma): draft tokens, ``d[:, i]`` drawn from ``q_dists[:, i]``
+    (B, gamma, V). ``p_dists`` (B, gamma + 1, V): the target's sampling
+    distribution after each accepted prefix (row ``gamma`` = bonus).
+
+    Returns ``(n_acc (B,), next_token (B,))``: draft ``i`` is accepted
+    with probability ``min(1, p_i(d_i)/q_i(d_i))``; the token after the
+    accepted prefix is drawn from the residual ``max(p - q, 0)`` at the
+    first rejection, or from the bonus row when all ``gamma`` survive.
+    The marginal distribution of the emitted stream is exactly ``p``
+    (Leviathan et al. 2023, thm. 1); with one-hot rows this reduces to
+    greedy longest-prefix matching.
+    """
+    B, gamma, V = q_dists.shape
+    ku, kr = jax.random.split(key)
+    p_d = jnp.take_along_axis(p_dists[:, :gamma], d[..., None],
+                              axis=-1)[..., 0]             # (B, gamma)
+    q_d = jnp.take_along_axis(q_dists, d[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(ku, (B, gamma))
+    accept = u * q_d < p_d           # u < p/q without the divide
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+
+    # residual at the first rejected position (or the bonus distribution
+    # p_gamma when everything was accepted: q padded with a zero row)
+    row_p = jnp.take_along_axis(p_dists, n_acc[:, None, None],
+                                axis=1)[:, 0]              # (B, V)
+    q_pad = jnp.concatenate(
+        [q_dists, jnp.zeros((B, 1, V), q_dists.dtype)], axis=1)
+    row_q = jnp.take_along_axis(q_pad, n_acc[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(row_p - row_q, 0.0)
+    mass = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(mass > 1e-9, resid / jnp.maximum(mass, 1e-30), row_p)
+    nxt = jax.random.categorical(
+        kr, jnp.log(resid + 1e-30), axis=-1).astype(jnp.int32)
+    return n_acc, nxt
+
+
+# ---------------------------------------------------------------------------
+# one speculative round
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "draft_config", "gamma", "pad_id",
+                     "interpret"),
+    donate_argnames=("cache", "draft_cache"))
+def spec_decode_round(params: fused.FusedStackedParams, draft_params,
+                      tokens: Array, pos: Array, cache, draft_cache,
+                      key: Array, temperature: Array, top_k: Array,
+                      top_p: Array, config: ModelConfig,
+                      draft_config: Optional[ModelConfig] = None,
+                      gamma: int = 4, pad_id: int = 0,
+                      interpret: bool = False):
+    """One draft-then-verify round over a continuous batch.
+
+    ``tokens`` (B,): last committed token per row, at position ``pos``
+    (B,) — the same state convention as ``decode_step_fused``. Returns
+    ``(out_tokens (B, gamma + 1), n_new (B,), next_tokens (B,),
+    new_pos (B,), cache, draft_cache)`` where row ``b`` emits
+    ``out_tokens[b, :n_new[b]]`` (``1 <= n_new <= gamma + 1``), the rest
+    padded with ``pad_id``. The emitted stream is distributed exactly as
+    target-only decoding (greedy rows: bit-for-bit the greedy stream,
+    modulo f32 argmax ties between the 1-token and S-token forward).
+    """
+    dconfig = config if draft_config is None else draft_config
+    B = tokens.shape[0]
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (B,))
+    top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (B,))
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (B,))
+    keys = jax.random.split(key, gamma + 2)
+
+    # --- draft: gamma proposals + 1 cache-completion step ------------------
+    def draft_body(carry, k_i):
+        tok, p_i, dcache = carry
+        logits, dcache = _draft_decode(draft_params, tok, p_i, dcache,
+                                       dconfig, interpret)
+        dist = _dist(logits, temperature, top_k, top_p)
+        filt = sampling.filter_logits(logits.astype(jnp.float32),
+                                      temperature, top_k, top_p)
+        nxt = jnp.where(
+            temperature > 0,
+            jax.random.categorical(k_i, filt, axis=-1),
+            jnp.argmax(logits, axis=-1)).astype(jnp.int32)
+        return (nxt, p_i + 1, dcache), (nxt, dist)
+
+    (_, _, draft_cache), (d_toks, q_dists) = jax.lax.scan(
+        draft_body, (tokens, pos, draft_cache), keys[:gamma + 1])
+    d = d_toks[:gamma].T                                   # (B, gamma)
+    q_dists = q_dists[:gamma].transpose(1, 0, 2)           # (B, gamma, V)
+
+    # --- verify: one multi-token target forward ----------------------------
+    window = jnp.concatenate([tokens[:, None], d], axis=1)  # (B, gamma+1)
+    logits, cache = verify_step_fused(params, window, pos, cache, config,
+                                      interpret=interpret)
+    V = logits.shape[-1]
+    S = gamma + 1
+    p_dists = _dist(logits.reshape(B * S, V),
+                    jnp.repeat(temperature, S),
+                    jnp.repeat(top_k, S),
+                    jnp.repeat(top_p, S)).reshape(B, S, V)
+
+    # --- rejection sampling -------------------------------------------------
+    n_acc, nxt = speculative_accept(d, q_dists, p_dists, keys[gamma + 1])
+
+    # --- emit ----------------------------------------------------------------
+    ar = jnp.arange(S)[None, :]
+    d_pad = jnp.concatenate([d, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    out = jnp.where(ar < n_acc[:, None], d_pad,
+                    jnp.where(ar == n_acc[:, None], nxt[:, None],
+                              jnp.int32(pad_id)))
+    n_new = n_acc + 1
+    return out, n_new, nxt, pos + n_new, cache, draft_cache
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def truncate_draft(params, config: ModelConfig,
+                   n_layers: int) -> Tuple[object, ModelConfig]:
+    """Early-exit self-draft: the target's first ``n_layers`` blocks with
+    the shared embedding / final norm / head. Zero extra weight memory
+    beyond views; quality depends on the checkpoint (undistilled early
+    exits are weak drafts — the rejection sampler keeps the output exact
+    regardless)."""
+    if isinstance(params, llama.ModelParams):
+        new = params._replace(layers=list(params.layers[:n_layers]))
+    else:
+        new = params._replace(
+            layers=jax.tree.map(lambda a: a[:n_layers], params.layers))
+    return new, dataclasses.replace(config, num_layers=n_layers)
+
+
+def generate_speculative(params: fused.FusedStackedParams, draft_params,
+                         prompts: Array, max_new_tokens: int,
+                         config: ModelConfig,
+                         draft_config: Optional[ModelConfig] = None,
+                         gamma: int = 4,
+                         temperature: float = 0.0, top_k: int = 0,
+                         top_p: float = 1.0, max_len: Optional[int] = None,
+                         cache_factory=KVCache.create,
+                         draft_cache_factory=None,
+                         key: Optional[Array] = None,
+                         eos_id: Optional[int] = None,
+                         interpret: bool = False):
+    """Host-side speculative generation loop (tests / examples / bench).
+
+    ``prompts``: (B, S0) equal-length token batch. Returns a list of B
+    python lists of generated token ids (length ``max_new_tokens`` each,
+    truncated at ``eos_id`` if given).
+    """
+    import numpy as np
+
+    dconfig = config if draft_config is None else draft_config
+    if draft_cache_factory is None:
+        draft_cache_factory = KVCache.create
+    B, S0 = prompts.shape
+    # a round can run the verify window past the final emitted token
+    if max_len is None:
+        max_len = S0 + max_new_tokens + 2 * (gamma + 1)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    cache = cache_factory(config, B, max_len)
+    dcache = draft_cache_factory(dconfig, B, max_len)
+
+    # prefill both models slot by slot
+    first_logits = []
+    for b in range(B):
+        lg, cache = fused.prefill_into_slot_fused(
+            params, prompts[b:b + 1], jnp.asarray(b), cache, config,
+            interpret=interpret)
+        first_logits.append(lg)
+        _, dcache = _draft_prefill(draft_params, prompts[b:b + 1],
+                                   jnp.asarray(b), dcache, dconfig,
+                                   interpret)
+    logits0 = jnp.stack(first_logits)                      # (B, V)
+    temp = jnp.full((B,), temperature, jnp.float32)
+    tk = jnp.full((B,), top_k, jnp.int32)
+    tp = jnp.full((B,), top_p, jnp.float32)
+    key, k0 = jax.random.split(key)
+    tokens = sampling.sample_logits(k0, logits0, temp, tk, tp)
+    pos = jnp.full((B,), S0, jnp.int32)
+
+    emitted = [[int(t)] for t in np.asarray(tokens)]
+    while min(len(e) for e in emitted) < max_new_tokens:
+        key, kr = jax.random.split(key)
+        out, n_new, tokens, pos, cache, dcache = spec_decode_round(
+            params, draft_params, tokens, pos, cache, dcache, kr,
+            temp, tk, tp, config, dconfig, gamma=gamma,
+            interpret=interpret)
+        out_h, n_h = np.asarray(out), np.asarray(n_new)
+        for b in range(B):
+            emitted[b].extend(int(t) for t in out_h[b, :n_h[b]])
+    result = []
+    for e in emitted:
+        e = e[:max_new_tokens]
+        if eos_id is not None and eos_id in e:
+            e = e[:e.index(eos_id) + 1]
+        result.append(e)
+    return result
+
+
+def _draft_prefill(draft_params, tokens, slot, dcache, dconfig, interpret):
+    if isinstance(draft_params, fused.FusedStackedParams):
+        return fused.prefill_into_slot_fused(draft_params, tokens, slot,
+                                             dcache, dconfig,
+                                             interpret=interpret)
+    if isinstance(draft_params, stacked.StackedModelParams):
+        return stacked.prefill_into_slot_w4a8(draft_params, tokens, slot,
+                                              dcache, dconfig,
+                                              interpret=interpret)
+    return llama.prefill_into_slot(draft_params, tokens, slot, dcache,
+                                   dconfig, interpret=interpret)
