@@ -204,6 +204,97 @@ def _bench_prefill(args, params, config, backend, use_pallas):
           f"fraction_of_bf16_peak={vs:.3f}", file=sys.stderr)
 
 
+def _bench_spec(args, params, config, backend, use_pallas):
+    """Speculative decoding throughput: committed tokens/sec through
+    ``spec_decode_round`` with a ``--draft-layers`` early-exit draft at
+    window ``--gamma``. Reports measured acceptance (on the random bench
+    weights this mostly exercises the mechanics; a distilled draft on a
+    real checkpoint raises acceptance, not the per-round cost measured
+    here). ``vs_baseline`` compares committed tokens/sec against the
+    single-token-decode HBM roofline — values above 1.0 mean speculative
+    decoding beats the best possible non-speculative decode step."""
+    import jax
+    import jax.numpy as jnp
+    from ee274_convexcaldera_llm_quantization_tpu.models import llama
+    from ee274_convexcaldera_llm_quantization_tpu.serve import speculative
+
+    if not args.fused:
+        raise SystemExit("--phase spec requires --fused (w4a8 path)")
+    B, gamma = args.batch, args.gamma
+    draft, dconfig = speculative.truncate_draft(params, config,
+                                                args.draft_layers)
+    T = args.context
+    if args.flash_attn:
+        cache = llama.HeadMajorQuantKVCache.create(config, B, T)
+    elif args.kv_int8:
+        cache = llama.QuantKVCache.create(config, B, T)
+    else:
+        cache = llama.KVCache.create(config, B, T)
+    dcache = llama.KVCache.create(dconfig, B, T)
+    tokens = jnp.zeros((B,), jnp.int32)
+    pos0 = 8
+    temps = jnp.zeros((B,), jnp.float32)          # greedy: deterministic
+    tks = jnp.zeros((B,), jnp.int32)
+    tps = jnp.ones((B,), jnp.float32)
+    max_rounds = (T - pos0 - gamma - 2) // (gamma + 1)
+
+    @jax.jit
+    def multi_round(params, draft, n, cache, dcache):
+        def body(i, carry):
+            tok, pos, cache, dcache, committed = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            out, n_new, nxt, new_pos, cache, dcache = \
+                speculative.spec_decode_round(
+                    params, draft, tok, pos, cache, dcache, key,
+                    temps, tks, tps, config, dconfig, gamma=gamma,
+                    interpret=not use_pallas)
+            return (nxt, new_pos, cache, dcache,
+                    committed + jnp.sum(n_new))
+        pos = jnp.full((B,), pos0, jnp.int32)
+        out = jax.lax.fori_loop(
+            0, n, body, (tokens, pos, cache, dcache, jnp.int32(0)))
+        return out[4]
+
+    t0 = time.time()
+    int(multi_round(params, draft, 1, cache, dcache))
+    compile_s = time.time() - t0
+    print(f"# multi_round compiled in {compile_s:.1f}s", file=sys.stderr,
+          flush=True)
+
+    def timed(n, reps=3):
+        best, com = float("inf"), 0
+        for _ in range(reps):
+            t0 = time.time()
+            com = int(multi_round(params, draft, n, cache, dcache))
+            best = min(best, time.time() - t0)
+        return best, com
+
+    n1 = max(args.warmup // 2, 2)
+    n2 = min(n1 + max(args.steps // 4, 8), max_rounds)
+    (t1, c1), (t2, c2) = timed(n1), timed(n2)
+    dt = max(t2 - t1, 1e-9)
+    tok_per_s = (c2 - c1) / dt
+    acc_per_round = (c2 - c1) / ((n2 - n1) * B) - 1
+
+    hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(backend, 50e9)
+    fb = 1 if args.int8_factors else 2
+    wb = weight_bytes_per_token(config, args.bits, args.rank,
+                                factor_bytes=fb, head_bytes=fb)
+    roofline_tok_per_s = hbm_bw / wb * B
+    print(json.dumps({
+        "metric": f"spec decode committed tokens/sec/chip {args.model} "
+                  f"{args.bits}-bit+rank{args.rank} gamma{gamma} "
+                  f"draft{args.draft_layers}L batch{B}",
+        "value": round(tok_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_per_s / roofline_tok_per_s, 4),
+    }))
+    print(f"# backend={backend} compile={compile_s:.1f}s "
+          f"round={(dt / (n2 - n1)) * 1000:.2f}ms "
+          f"accepted/round={acc_per_round:.2f}/{gamma} "
+          f"(slope n={n1}->{n2})", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="llama2-7b",
@@ -240,11 +331,17 @@ def main():
                              "implies --kv-int8); in --phase prefill this "
                              "selects the flash prefill kernel")
     parser.add_argument("--phase", default="decode",
-                        choices=["decode", "prefill"],
+                        choices=["decode", "prefill", "spec"],
                         help="decode: steady-state decode throughput "
                              "(headline). prefill: prompt tokens/sec of "
-                             "prefill_into_slot_fused at --prompt-len")
+                             "prefill_into_slot_fused at --prompt-len. "
+                             "spec: committed tokens/sec of speculative "
+                             "decoding with an early-exit draft")
     parser.add_argument("--prompt-len", type=int, default=2048)
+    parser.add_argument("--gamma", type=int, default=4,
+                        help="speculative window (draft tokens per round)")
+    parser.add_argument("--draft-layers", type=int, default=4,
+                        help="early-exit draft depth for --phase spec")
     args = parser.parse_args()
 
     import jax
@@ -288,6 +385,9 @@ def main():
 
     if args.phase == "prefill":
         _bench_prefill(args, params, config, backend, use_pallas)
+        return
+    if args.phase == "spec":
+        _bench_spec(args, params, config, backend, use_pallas)
         return
     if args.flash_attn:
         cache = llama.HeadMajorQuantKVCache.create(config, args.batch,

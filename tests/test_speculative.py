@@ -216,6 +216,81 @@ class TestRejectionSampler:
         assert int(nxt[0]) == 1                       # target's token there
 
 
+class TestSpecEngine:
+    def _requests(self, n=3, max_new=10, seed=31, **kw):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+            Request)
+        key = jax.random.PRNGKey(seed)
+        reqs = []
+        for i in range(n):
+            key, k = jax.random.split(key)
+            plen = 4 + i
+            reqs.append(Request(
+                uid=i,
+                prompt=np.asarray(jax.random.randint(
+                    k, (plen,), 1, TINY.vocab_size), np.int32),
+                max_new_tokens=max_new, **kw))
+        return reqs
+
+    def test_greedy_engine_matches_fast_engine(self, target):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.spec_engine import (
+            SpeculativeServingEngine)
+        draft, dconfig = spec.truncate_draft(target, TINY, 1)
+        ref = FastServingEngine(target, TINY, max_slots=2, max_seq_len=64,
+                                interpret=True)
+        for r in self._requests():
+            ref.submit(r)
+        ref_out = {c.uid: c.tokens for c in ref.run()}
+
+        eng = SpeculativeServingEngine(target, draft, TINY, dconfig,
+                                       gamma=3, max_slots=2, max_seq_len=64,
+                                       interpret=True)
+        for r in self._requests():
+            eng.submit(r)
+        out = {c.uid: c.tokens for c in eng.run()}
+        assert out == ref_out
+        assert eng.spec_rounds > 0
+
+    def test_eos_mid_window(self, target):
+        """An EOS accepted mid-window must terminate the request at the
+        EOS token, discarding the rest of the window."""
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.spec_engine import (
+            SpeculativeServingEngine)
+        ref = FastServingEngine(target, TINY, max_slots=1, max_seq_len=64,
+                                interpret=True)
+        [req] = self._requests(n=1, max_new=12)
+        ref.submit(req)
+        [comp] = ref.run()
+        # pick the 4th greedy token as a synthetic EOS (mid spec window)
+        eos = comp.tokens[3]
+
+        draft, dconfig = spec.truncate_draft(target, TINY, 1)
+        eng = SpeculativeServingEngine(target, draft, TINY, dconfig,
+                                       gamma=3, max_slots=1, max_seq_len=64,
+                                       interpret=True)
+        [req2] = self._requests(n=1, max_new=12, eos_token=int(eos))
+        eng.submit(req2)
+        [comp2] = eng.run()
+        assert comp2.finished_reason == "eos"
+        assert comp2.tokens == comp.tokens[:4]
+
+    def test_acceptance_stats_perfect_draft(self, target):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.spec_engine import (
+            SpeculativeServingEngine)
+        eng = SpeculativeServingEngine(target, target, TINY, TINY,
+                                       gamma=2, max_slots=2, max_seq_len=64,
+                                       interpret=True)
+        for r in self._requests(n=2, max_new=9):
+            eng.submit(r)
+        eng.run()
+        # a perfect draft accepts every proposal in every round
+        assert eng.accepted_tokens == eng.spec_rounds * 2
+
+
 class TestHelpers:
     def test_truncate_draft_shapes(self, target):
         draft, dconfig = spec.truncate_draft(target, TINY, 1)
