@@ -137,6 +137,16 @@ def cmd_serve(args):
     else:
         eng = ServingEngine(params, config, max_slots=args.max_slots,
                             max_seq_len=args.max_seq_len)
+    if args.http_port is not None:
+        from ee274_convexcaldera_llm_quantization_tpu.serve.http_server import (
+            ServingHTTPServer)
+        srv = ServingHTTPServer(eng, host=args.http_host,
+                                port=args.http_port)
+        print(json.dumps({"serving": f"http://{srv.host}:{srv.port}",
+                          "endpoints": ["/health", "/v1/stats",
+                                        "/v1/completions"]}), flush=True)
+        srv.serve_forever()
+        return
     rng = np.random.default_rng(0)
     t0 = time.time()
     for uid in range(args.num_requests):
@@ -218,6 +228,10 @@ def main(argv=None):
                    choices=["slotted", "paged"])
     p.add_argument("--num-pages", type=int, default=256)
     p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--http-port", type=int, default=None,
+                   help="serve a JSON HTTP API on this port instead of the "
+                        "synthetic smoke run (0 = ephemeral)")
+    p.add_argument("--http-host", default="127.0.0.1")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

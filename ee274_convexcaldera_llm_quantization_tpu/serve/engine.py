@@ -88,13 +88,28 @@ class ServingEngine:
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, req: Request) -> None:
+    def validate(self, req: Request) -> None:
+        """Raise ValueError if the request can never be served (pure read —
+        safe to call from any thread, used by the HTTP front-end for
+        synchronous 400s)."""
         if len(req.prompt) + req.max_new_tokens > self.max_seq_len:
             raise ValueError(
                 f"request {req.uid}: prompt {len(req.prompt)} + "
                 f"{req.max_new_tokens} new tokens exceeds max_seq_len "
                 f"{self.max_seq_len}")
+
+    def submit(self, req: Request) -> None:
+        self.validate(req)
         self.queue.append(req)
+
+    def busy(self) -> bool:
+        """Work pending? (generic engine interface for the HTTP runner)."""
+        return bool(self.queue or self.slots or self._pending())
+
+    def live_generated(self):
+        """uid -> tokens committed so far for in-flight requests (snapshot
+        source for streaming responses)."""
+        return {st.req.uid: st.generated for st in self.slots.values()}
 
     def run(self, max_steps: Optional[int] = None) -> List[Completion]:
         """Run until every submitted request completes."""

@@ -50,7 +50,7 @@ class PagedServingEngine:
         self._start: Dict[int, float] = {}
         self.completions: List[Completion] = []
 
-    def submit(self, req: Request) -> None:
+    def validate(self, req: Request) -> None:
         total = len(req.prompt) + req.max_new_tokens
         if total > self.max_pages * self.page_size:
             raise ValueError(f"request {req.uid} needs {total} tokens > "
@@ -62,6 +62,9 @@ class PagedServingEngine:
             raise ValueError(
                 f"request {req.uid} needs {need} pages > pool size "
                 f"{self.allocator.num_pages}")
+
+    def submit(self, req: Request) -> None:
+        self.validate(req)
         self._requests[req.uid] = req
         self.sched.submit(req.uid, len(req.prompt), req.max_new_tokens,
                           priority=getattr(req, "priority", 0),
@@ -79,6 +82,13 @@ class PagedServingEngine:
                     f"{self.allocator.free_pages} free pages)")
         done, self.completions = self.completions, []
         return done
+
+    def busy(self) -> bool:
+        return self.sched.queue_len > 0 or self.sched.active_count > 0
+
+    def live_generated(self):
+        return {uid: toks for uid, toks in self._generated.items()
+                if uid in self._slot_of}
 
     def step(self) -> None:
         for uid, slot in self.sched.admit(create_seqs=not self.prefix_cache):

@@ -61,7 +61,7 @@ class SpeculativeServingEngine(FastServingEngine):
         self.spec_rounds = 0
         self.accepted_tokens = 0
 
-    def submit(self, req: Request) -> None:
+    def validate(self, req: Request) -> None:
         # the verify window can write gamma positions past the last emitted
         # token, so reserve that headroom in the cache
         if (len(req.prompt) + req.max_new_tokens + self.gamma
@@ -70,7 +70,6 @@ class SpeculativeServingEngine(FastServingEngine):
                 f"request {req.uid}: prompt {len(req.prompt)} + "
                 f"{req.max_new_tokens} new + gamma {self.gamma} headroom "
                 f"exceeds max_seq_len {self.max_seq_len}")
-        self.queue.append(req)
 
     def _admit(self) -> None:
         while self.queue and self.free_slots:
