@@ -300,17 +300,45 @@ def quantize_activations_int8(x: jax.Array):
     return xq, sx
 
 
+def _unpack_plane_unsigned(chunk, p: int, num_bits: int, f: int):
+    """Unsigned codes of plane ``p`` from an i32-widened packed byte chunk.
+
+    The top plane needs no mask (the widened byte is < 256, so the shift
+    already isolates it) and the bottom plane needs no shift — for 4-bit
+    that is ONE vector op per plane instead of shift+mask, which matters
+    because the W4A8 kernels are VPU-bound on unpack, not DMA-bound.
+    Codes stay offset-binary (0..2^b-1, fits int8 for b <= 4); the caller
+    removes the +maxq bias with a rank-1 correction of the accumulator:
+    ``xq @ (u - maxq) == xq @ u - maxq * rowsum(xq)`` (exact int math).
+    """
+    shift = num_bits * (f - 1 - p)
+    if p == 0:
+        u = chunk >> shift
+    elif shift == 0:
+        u = chunk & ((1 << num_bits) - 1)
+    else:
+        u = (chunk >> shift) & ((1 << num_bits) - 1)
+    return u.astype(jnp.int8)
+
+
+def _rowsum_i32(xq):
+    """Per-row sum of int8 activations, exact in i32 — the rank-1 bias
+    correction term for unsigned-code accumulation."""
+    return jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)   # (TM, 1)
+
+
 def _qmm_w4a8_kernel(xq_ref, w_ref, s_ref, sx_ref, o_ref, *, num_bits: int,
                      chunk_bytes: int):
-    """int8 MXU path: signed codes matmul + rank-1 dequant.
+    """int8 MXU path: unsigned-code matmul + rank-1 dequant/bias correction.
 
-    ``y = sx_m * s_n * sum_k xq[k] * (u[k] - maxq)`` — codes are re-signed
-    during unpack (one extra subtract) and fed to the int8 MXU unscaled;
-    dequantization is a rank-1 rescale of the int32 accumulator.
+    ``y = sx_m * s_n * (sum_k xq[k] * u[k] - maxq * sum_k xq[k])`` — codes
+    are fed to the int8 MXU offset-binary (unsigned, no per-code re-sign),
+    and both the scale AND the +maxq bias are removed from the int32
+    accumulator with rank-1 terms. 8-bit codes (0..254) would overflow the
+    int8 cast, so f == 1 keeps the signed per-code path.
     """
     f = _pack_factor(num_bits)
     maxq = 2 ** (num_bits - 1) - 1
-    mask = (1 << num_bits) - 1
     plane_len = w_ref.shape[1]
     TM = xq_ref.shape[0]
     TN = w_ref.shape[0]
@@ -320,16 +348,18 @@ def _qmm_w4a8_kernel(xq_ref, w_ref, s_ref, sx_ref, o_ref, *, num_bits: int,
         chunk = w_ref[:, c * chunk_bytes:(c + 1) * chunk_bytes]
         chunk = chunk.astype(jnp.int32)
         for p in range(f):
-            # signed codes fit int8 for every bit width (offset-binary
-            # 8-bit codes 0..254 would overflow an unsigned-style cast)
-            u = (((chunk >> (num_bits * (f - 1 - p))) & mask)
-                 - maxq).astype(jnp.int8)
+            if f == 1:
+                u = (chunk - maxq).astype(jnp.int8)
+            else:
+                u = _unpack_plane_unsigned(chunk, p, num_bits, f)
             koff = p * plane_len + c * chunk_bytes
             acc += jax.lax.dot_general(
                 xq[:, koff:koff + chunk_bytes], u,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+    if f > 1:
+        acc = acc - maxq * _rowsum_i32(xq)
     o_ref[:] = (acc.astype(jnp.float32)
                 * s_ref[:, 0][None, :] * sx_ref[:, 0][:, None])
 
@@ -409,7 +439,6 @@ def _qmm_w4a8_stacked_kernel(l_ref, xq_ref, w_ref, s_ref, sx_ref, o_ref, *,
     del l_ref
     f = _pack_factor(num_bits)
     maxq = 2 ** (num_bits - 1) - 1
-    mask = (1 << num_bits) - 1
     plane_len = w_ref.shape[2]
     TM = xq_ref.shape[0]
     TN = w_ref.shape[1]
@@ -419,14 +448,18 @@ def _qmm_w4a8_stacked_kernel(l_ref, xq_ref, w_ref, s_ref, sx_ref, o_ref, *,
         chunk = w_ref[0, :, c * chunk_bytes:(c + 1) * chunk_bytes]
         chunk = chunk.astype(jnp.int32)
         for p in range(f):
-            u = (((chunk >> (num_bits * (f - 1 - p))) & mask)
-                 - maxq).astype(jnp.int8)
+            if f == 1:
+                u = (chunk - maxq).astype(jnp.int8)
+            else:
+                u = _unpack_plane_unsigned(chunk, p, num_bits, f)
             koff = p * plane_len + c * chunk_bytes
             acc += jax.lax.dot_general(
                 xq[:, koff:koff + chunk_bytes], u,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+    if f > 1:
+        acc = acc - maxq * _rowsum_i32(xq)
     o_ref[:] = (acc.astype(jnp.float32)
                 * s_ref[0, :, 0][None, :] * sx_ref[:, 0][:, None])
 
@@ -553,7 +586,6 @@ def _qmm_w4a8_lr_stacked_kernel(l_ref, pid_ref, xq_ref, y_ref, w_ref, s_ref,
 
     f = _pack_factor(num_bits)
     maxq = 2 ** (num_bits - 1) - 1
-    mask = (1 << num_bits) - 1
     plane_len = w_ref.shape[2]
     TM = xq_ref.shape[0]
     TN = w_ref.shape[1]
@@ -563,14 +595,18 @@ def _qmm_w4a8_lr_stacked_kernel(l_ref, pid_ref, xq_ref, y_ref, w_ref, s_ref,
         chunk = w_ref[0, :, c * chunk_bytes:(c + 1) * chunk_bytes]
         chunk = chunk.astype(jnp.int32)
         for p in range(f):
-            u = (((chunk >> (num_bits * (f - 1 - p))) & mask)
-                 - maxq).astype(jnp.int8)
+            if f == 1:
+                u = (chunk - maxq).astype(jnp.int8)
+            else:
+                u = _unpack_plane_unsigned(chunk, p, num_bits, f)
             koff = p * plane_len + c * chunk_bytes
             acc += jax.lax.dot_general(
                 xq[:, koff:koff + chunk_bytes], u,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+    if f > 1:
+        acc = acc - maxq * _rowsum_i32(xq)
 
     if single:
         xr_j = xr_ref[:]                       # n_proj == 1: whole scratch
