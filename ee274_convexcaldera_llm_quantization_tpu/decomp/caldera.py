@@ -102,14 +102,23 @@ class CalderaDecomposition:
         """
         out = {}
         if params.quant_factory_Q.method == "e8p":
-            # lattice components re-extract exactly through the serving
-            # pack instead (lattice.e8p_pack_rowscale ->
-            # int4_planes_to_codes); the generic re-quantization below
-            # would re-run the scale search on changed row statistics.
-            raise NotImplementedError(
-                "e8p codes are recovered via the serving pack "
-                "(ops.lattice.int4_planes_to_codes), not quantized_codes()")
-        if params.q_update == "ldlq":
+            # The generic re-quantization below would re-run the RMS-relative
+            # scale search on the *dequantized* block statistics and miss the
+            # original scale; e8p_recover_codes instead enumerates the seven
+            # candidate scales consistent with the lattice grid (coordinates
+            # are odd multiples of scale/4), one of which is exact.
+            from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+            if params.q_update == "ldlq":
+                # ldlq_quantize_e8p fixes one scale per ROW; recover on
+                # per-row blocks so each row's scale is found exactly
+                bs = self.Q.shape[1]
+            elif params.quant_factory_Q.block_size == "global":
+                bs = self.Q.size
+            else:
+                bs = int(params.quant_factory_Q.block_size)
+            blocks, _ = bq.blockify(self.Q.astype(jnp.float32), bs)
+            out["Q"] = lattice.e8p_recover_codes(blocks)
+        elif params.q_update == "ldlq":
             # LDLQ quantizes on a per-row uniform grid (the w4a8 serving
             # layout); re-derive codes on that grid. Exact whenever a row's
             # max-magnitude code survived the sweep, else off by one scale

@@ -206,6 +206,7 @@ def quantized_matmul(
     G = resolve_group(num_bits, K, group_size)
     N = packed.shape[0]
     assert packed.shape[1] * f == K, (packed.shape, K, f)
+    assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
     block_n = min(block_n, N)
     while N % block_n:
         block_n //= 2
@@ -310,6 +311,11 @@ def _unpack_plane_unsigned(chunk, p: int, num_bits: int, f: int):
     Codes stay offset-binary (0..2^b-1, fits int8 for b <= 4); the caller
     removes the +maxq bias with a rank-1 correction of the accumulator:
     ``xq @ (u - maxq) == xq @ u - maxq * rowsum(xq)`` (exact int math).
+
+    The mask-free ``p == 0`` path is only correct when the chunk was
+    zero-extended from a **uint8** container (an int8-stored container would
+    sign-extend and make ``chunk >> shift`` negative); the public kernel
+    wrappers assert ``packed.dtype == uint8`` to pin that assumption.
     """
     shift = num_bits * (f - 1 - p)
     if p == 0:
@@ -386,6 +392,7 @@ def quantized_matmul_w4a8(
     M, K = x.shape
     N = packed.shape[0]
     assert packed.shape[1] * f == K
+    assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
     block_n = min(block_n, N)
     while N % block_n:
         block_n //= 2
@@ -487,6 +494,7 @@ def quantized_matmul_w4a8_stacked(
     M, K = x.shape
     N = packed.shape[1]
     assert packed.shape[2] * f == K
+    assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
     block_n = min(block_n, N)
     while N % block_n:
         block_n //= 2
@@ -668,6 +676,7 @@ def quantized_matmul_w4a8_lr_stacked(
     M, K = x.shape
     N = packed.shape[1]
     assert packed.shape[2] * f == K
+    assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
     assert sum(splits) == N and L_cat.shape[1] == N
     assert R.shape[1] == len(splits) * rank
     block_n = min(block_n, min(splits))

@@ -297,6 +297,47 @@ def e8p_quantize_blocks(
     return codes, scale
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def e8p_recover_codes(blocks: Array, chunk: int = 512) -> Tuple[Array, Array]:
+    """Recover ``(codes, scale)`` from blocks that already lie on the e8p
+    grid (e.g. the dequantized ``Q`` component of a CALDERA solve).
+
+    Every codeword coordinate is an odd multiple of 1/4, so a block's max
+    magnitude satisfies ``max|v| = s * (2M+1)/4`` for some integer
+    ``M in [0, 6]`` (``|c| <= sqrt(11.5) < 13/4 * ...``). Trying the seven
+    candidate scales ``s_M = 4 * max|v| / (2M+1)`` guarantees one of them
+    equals the original block scale exactly, and nearest-codeword encoding
+    at that scale reproduces the block to f32 rounding — unlike
+    :func:`e8p_quantize_blocks`, whose RMS-relative scale grid shifts once
+    the block statistics are those of the *dequantized* values. This is the
+    exact-round-trip path behind ``CalderaDecomposition.quantized_codes``
+    for e8p (reference parity with ``Q_idxs``, ref ``dataclasses.py:87-106``).
+    """
+    nb, bs = blocks.shape
+    if bs % DIM != 0:
+        raise ValueError(f"block size {bs} not a multiple of {DIM}")
+    cb = jnp.asarray(e8p_codebook())
+    blocks = blocks.astype(jnp.float32)
+    g = jnp.maximum(jnp.max(jnp.abs(blocks), axis=1, keepdims=True), 1e-12)
+
+    def try_scale(s):
+        y = (blocks / s).reshape(-1, DIM)
+        idx = e8p_encode(y, cb, chunk=chunk)
+        rec = (e8p_decode(idx, cb).reshape(nb, bs)) * s
+        err = jnp.sum((rec - blocks) ** 2, axis=1)
+        return idx.reshape(nb, bs // DIM), s, err
+
+    results = [try_scale(4.0 * g / (2 * M + 1)) for M in range(7)]
+    errs = jnp.stack([r[2] for r in results], axis=0)
+    best = jnp.argmin(errs, axis=0)
+    codes = jnp.stack([r[0] for r in results], axis=0)
+    scales = jnp.stack([r[1] for r in results], axis=0)
+    take = functools.partial(jnp.take_along_axis, axis=0)
+    codes = take(codes, best[None, :, None])[0].astype(jnp.uint16)
+    scale = take(scales, best[None, :, None])[0]
+    return codes, scale
+
+
 def e8p_dequantize_blocks(codes: Array, scale: Array) -> Array:
     """Reconstruct (nb, bs) blocks from (nb, bs//8) codes + (nb, 1) scales."""
     cb = jnp.asarray(e8p_codebook())

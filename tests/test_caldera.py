@@ -208,6 +208,39 @@ class TestQuantizedCodes:
                                    atol=1e-6)
         assert codes["L"] is not None and codes["R"] is not None
 
+    def test_e8p_codes_round_trip_losslessly(self):
+        # VERDICT r1 #7: e8p Q codes recovered exactly (not via re-running
+        # the RMS-relative scale search) — lattice.e8p_recover_codes
+        rng = np.random.default_rng(21)
+        W = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+        params = smoke_params(
+            Q_bits=2, L_bits=16, R_bits=16, rank=8, iters=2, lplr_iters=2,
+            quant_factory_Q=QuantizerFactory(method="e8p", block_size=64))
+        decomp = caldera(params, W, scale_W=False)
+        codes, scale = decomp.quantized_codes(params)["Q"]
+        assert codes.dtype == jnp.uint16
+        from ee274_convexcaldera_llm_quantization_tpu.ops import (
+            blockquant as bq, lattice)
+        rec = bq.unblockify(
+            lattice.e8p_dequantize_blocks(codes, scale), decomp.Q.shape)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(decomp.Q),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_e8p_ldlq_codes_round_trip_losslessly(self):
+        # LDLQ-e8p fixes one scale per row; per-row recovery must be exact
+        rng = np.random.default_rng(22)
+        W = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+        params = smoke_params(
+            Q_bits=2, L_bits=16, R_bits=16, rank=8, iters=2, lplr_iters=2,
+            q_update="ldlq",
+            quant_factory_Q=QuantizerFactory(method="e8p", block_size=64))
+        decomp = caldera(params, W, scale_W=False)
+        codes, scale = decomp.quantized_codes(params)["Q"]
+        from ee274_convexcaldera_llm_quantization_tpu.ops import lattice
+        rec = lattice.e8p_dequantize_blocks(codes, scale)   # per-row blocks
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(decomp.Q),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_16bit_factors_have_no_codes(self):
         rng = np.random.default_rng(16)
         W = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
