@@ -25,6 +25,14 @@ def _load_model(args):
     import jax
     from ee274_convexcaldera_llm_quantization_tpu.models import llama
     from ee274_convexcaldera_llm_quantization_tpu.models.config import PRESETS
+    if args.checkpoint:
+        # a framework checkpoint (compressed or dense) written by
+        # ``ccq compress --output`` / utils.checkpoint.save_params takes
+        # precedence: this is how ``ccq eval --checkpoint`` measures the
+        # compressed model the pipeline just produced
+        from ee274_convexcaldera_llm_quantization_tpu.utils.checkpoint import (
+            load_params)
+        return load_params(args.checkpoint)
     if args.model in PRESETS:
         config = PRESETS[args.model]
         params = llama.init_params(jax.random.PRNGKey(args.seed), config)

@@ -194,8 +194,17 @@ int32_t ccq_seq_create_cached(void* ptr, int32_t seq_id,
   a->cache_lookups += max_shared;
   a->cache_hits += shared;
 
+  // Shared pages currently parked on the LRU count as "available" but are
+  // resurrected (removed from the LRU) in step 2 — they must NOT be counted
+  // toward the fresh-page budget, or step 3 can run dry after the check
+  // (acquire_page() == -1 -> refcount[-1] heap corruption; found by ASAN).
+  int32_t resurrect = 0;
+  for (int32_t k = 0; k < shared; ++k) {
+    int32_t p = a->cache.at(hashes[k]);
+    if (a->refcount[p] == 0 && a->meta[p].on_lru) ++resurrect;
+  }
   int32_t need = pages_for(prompt_len, P) - shared;
-  if (available_pages(a) < need) return -1;
+  if (available_pages(a) - resurrect < need) return -1;
 
   Sequence s;
   s.length = prompt_len;
@@ -214,6 +223,22 @@ int32_t ccq_seq_create_cached(void* ptr, int32_t seq_id,
   int32_t total = pages_for(prompt_len, P);
   for (int32_t k = shared; k < total; ++k) {
     int32_t p = acquire_page(a);
+    if (p < 0) {
+      // unreachable with the corrected precheck; roll back defensively
+      // rather than corrupting refcount[-1]. Fresh pages registered earlier
+      // in this loop hold no KV yet — unregister before releasing so no
+      // future prompt can "share" garbage.
+      for (size_t j = 0; j < s.pages.size(); ++j) {
+        int32_t q = s.pages[j];
+        if (static_cast<int32_t>(j) >= shared && a->meta[q].registered) {
+          a->cache.erase(a->meta[q].hash);
+          a->meta[q].registered = false;
+          a->meta[q].hash = 0;
+        }
+        if (--a->refcount[q] == 0) release_page(a, q);
+      }
+      return -1;
+    }
     a->refcount[p] = 1;
     if (k < full_pages && !a->cache.count(hashes[k])) {
       a->cache[hashes[k]] = p;

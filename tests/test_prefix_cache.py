@@ -17,6 +17,23 @@ from ee274_convexcaldera_llm_quantization_tpu.serve.runtime import (
 
 
 class TestPrefixCacheAllocator:
+    def test_resurrected_lru_pages_do_not_count_as_available(self):
+        # Regression (found by ASAN): with the free list dry and the shared
+        # prefix parked on the LRU, the old precheck counted the soon-to-be-
+        # resurrected pages as available, ran acquire_page() dry in step 3,
+        # and wrote refcount[-1] — heap corruption that surfaced as random
+        # SIGSEGVs later in the process (e.g. inside XLA CPU compiles).
+        a = PageAllocator(num_pages=4, page_size=4)
+        toks = np.arange(16, dtype=np.int32)       # 4 pages, 3 registered
+        assert a.create_seq_cached(0, toks) == 0
+        a.free_seq(0)                              # 3 pages -> LRU, 1 free
+        toks2 = np.arange(20, dtype=np.int32)      # shares 3, needs 2 fresh
+        with pytest.raises(MemoryError):
+            a.create_seq_cached(2, toks2)
+        # pool must be fully intact after the clean failure
+        assert a.free_pages == 4
+        assert a.create_seq_cached(3, toks) == 12  # 3 cached pages survive
+
     def test_second_identical_prompt_shares_pages(self):
         a = PageAllocator(num_pages=32, page_size=4)
         toks = np.arange(10, dtype=np.int32)      # 2 full pages + 2 tokens
