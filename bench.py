@@ -324,6 +324,11 @@ def main():
                         action=argparse.BooleanOptionalAction, default=True,
                         help="int8 low-rank factors + int8 lm_head "
                              "(halves factor/head HBM reads)")
+    parser.add_argument("--factor-kernel", default="l",
+                        choices=["xla", "l", "lr"],
+                        help="low-rank factor path on the fused decode "
+                             "step: XLA slab dots, L-half fused in-kernel "
+                             "(default), or fully in-kernel")
     parser.add_argument("--flash-attn",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="flash decode-attention Pallas kernel over a "
@@ -374,7 +379,8 @@ def main():
     if args.fused:
         params = fusedm.fuse_stacked(params)
         if args.int8_factors:
-            params = fusedm.quantize_factors_int8_fused(params)
+            params = fusedm.quantize_factors_int8_fused(
+                params, fuse_factor_kernel=args.factor_kernel)
     elif args.int8_factors:
         params = stacked.quantize_model_factors_int8(params)
     jax.block_until_ready(params.embed)

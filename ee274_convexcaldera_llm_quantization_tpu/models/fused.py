@@ -73,6 +73,12 @@ class FusedW4A8Linear:
                                                 metadata=dict(static=True))
     ranks: Tuple[int, ...] = dataclasses.field(default=(),
                                                metadata=dict(static=True))
+    # factor path: "xla" (per-layer slab slices + XLA dots), "l" (L half
+    # fused into the packed kernel, xr by XLA — avoids the big L slab
+    # copies without serializing an R DMA ahead of the first output block),
+    # "lr" (everything in-kernel; measured slower, kept for ablation)
+    factor_kernel: str = dataclasses.field(default="xla",
+                                           metadata=dict(static=True))
 
 
 class FusedLayerStack(NamedTuple):
@@ -145,21 +151,23 @@ def fuse_stacked(params: StackedModelParams) -> FusedStackedParams:
 
 
 def _quantize_fused_factors(fp: FusedW4A8Linear,
-                            fuse_kernel: bool = False) -> FusedW4A8Linear:
+                            factor_kernel: str = "xla") -> FusedW4A8Linear:
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
     if fp.R_scale is not None:
         return fp
     R8, Rs = Kr.quantize_int8_rowwise(fp.R)
     pairs = [Kr.quantize_int8_rowwise(L) for L in fp.Ls]
-    if fuse_kernel and Kr.lr_stacked_supported(fp.splits, fp.ranks):
+    if (factor_kernel in ("l", "lr")
+            and Kr.lr_stacked_supported(fp.splits, fp.ranks)):
         # single storage copy: N-concatenated codes for the fused-factor
-        # kernel; per-projection scales kept (tiny) for introspection
+        # kernels; per-projection scales kept (tiny) for introspection
         return dataclasses.replace(
             fp, R=R8, R_scale=Rs, Ls=(),
             L_scales=tuple(s for _, s in pairs),
             L_cat=jnp.concatenate([c for c, _ in pairs], axis=1),
-            L_scale_cat=jnp.concatenate([s for _, s in pairs], axis=1))
+            L_scale_cat=jnp.concatenate([s for _, s in pairs], axis=1),
+            factor_kernel=factor_kernel)
     return dataclasses.replace(
         fp, R=R8, R_scale=Rs, Ls=tuple(c for c, _ in pairs),
         L_scales=tuple(s for _, s in pairs))
@@ -168,31 +176,41 @@ def _quantize_fused_factors(fp: FusedW4A8Linear,
 def quantize_factors_int8_fused(
         params: FusedStackedParams,
         lm_head_int8: bool = True,
-        fuse_factor_kernel: bool = False) -> FusedStackedParams:
+        fuse_factor_kernel=False) -> FusedStackedParams:
     """int8-quantize all low-rank factors (and optionally the lm_head /
     tied embedding output head) of a fused model: for Llama-2-7B rank-128
     this cuts ~0.64 GB of bf16 factor reads to 0.32 GB and the head from
     0.26 to 0.13 GB per decode step.
 
-    ``fuse_factor_kernel=True`` additionally stores the L factors
-    N-concatenated (``FusedW4A8Linear.L_cat``) so decode/prefill run the
-    single-kernel packed+low-rank path
-    (:func:`ops.kernels.quantized_matmul_w4a8_lr_stacked`). Off by default:
-    measured on-chip (llama2-7b batch 8) the fused-factor kernel is
-    slightly SLOWER end to end (10.33 vs 9.72 ms/step) — XLA fully
-    overlaps the unfused factor-slice copies and dots with the packed
-    kernels, while in-kernel fusion serializes the R-slab DMA + xr compute
-    before each launch's first output block."""
+    ``fuse_factor_kernel`` selects the factor path at decode/prefill time:
+
+    - ``False`` / ``"xla"`` — per-layer factor slabs sliced by XLA
+      ``dynamic_index_in_dim`` and contracted with XLA dots;
+    - ``"l"`` — the L half rides inside the packed kernel
+      (:func:`ops.kernels.quantized_matmul_w4a8_l_stacked`, L stored
+      N-concatenated as ``L_cat``) while the thin R contraction stays an
+      XLA dot. This removes the big L slab copies (~0.18 GB/step of extra
+      write+read traffic on Llama-2-7B rank-128) without serializing an
+      R-slab DMA ahead of the first output block;
+    - ``True`` / ``"lr"`` — everything in-kernel
+      (:func:`ops.kernels.quantized_matmul_w4a8_lr_stacked`); measured
+      slightly SLOWER end to end (10.33 vs 9.72 ms/step): the in-kernel
+      R DMA + int8->bf16 conversion serialize before each launch's first
+      output block. Kept for ablation."""
     from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
         DenseLinear, quantize_factors_int8, quantize_linear_int8)
 
+    fk = {False: "xla", True: "lr"}.get(fuse_factor_kernel,
+                                        fuse_factor_kernel)
+    if fk not in ("xla", "l", "lr"):
+        raise ValueError(f"unknown factor kernel {fuse_factor_kernel!r}")
     lp = params.layers
     layers = FusedLayerStack(
         attn_norm=lp.attn_norm,
-        qkv=_quantize_fused_factors(lp.qkv, fuse_factor_kernel),
+        qkv=_quantize_fused_factors(lp.qkv, fk),
         o_proj=quantize_factors_int8(lp.o_proj),
         mlp_norm=lp.mlp_norm,
-        gateup=_quantize_fused_factors(lp.gateup, fuse_factor_kernel),
+        gateup=_quantize_fused_factors(lp.gateup, fk),
         down_proj=quantize_factors_int8(lp.down_proj))
     lm_head = params.lm_head
     if lm_head_int8:
@@ -210,12 +228,24 @@ def _apply_fused(fp: FusedW4A8Linear, l: Array, y: Array, interpret: bool):
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
     if fp.L_cat is not None:
-        # packed matmul AND factor path in one kernel: no XLA factor-slice
-        # copies, no extra launches
-        out_cat = Kr.quantized_matmul_w4a8_lr_stacked(
-            y, fp.packed, fp.scales, l, fp.R, fp.R_scale, fp.L_cat,
-            fp.L_scale_cat, num_bits=fp.num_bits, rank=fp.ranks[0],
-            splits=fp.splits, interpret=interpret)
+        if fp.factor_kernel == "l":
+            # L half in-kernel; thin R contraction stays an XLA dot (the
+            # R slab copy is small and the dot overlaps with the kernel)
+            R_l = jax.lax.dynamic_index_in_dim(fp.R, l, 0, keepdims=False)
+            xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            xr = xr * jax.lax.dynamic_index_in_dim(
+                fp.R_scale, l, 0, keepdims=False)[:, 0][None, :]
+            out_cat = Kr.quantized_matmul_w4a8_l_stacked(
+                y, fp.packed, fp.scales, l, xr, fp.L_cat, fp.L_scale_cat,
+                num_bits=fp.num_bits, rank=fp.ranks[0], splits=fp.splits,
+                interpret=interpret)
+        else:
+            # packed matmul AND both factor halves in one kernel
+            out_cat = Kr.quantized_matmul_w4a8_lr_stacked(
+                y, fp.packed, fp.scales, l, fp.R, fp.R_scale, fp.L_cat,
+                fp.L_scale_cat, num_bits=fp.num_bits, rank=fp.ranks[0],
+                splits=fp.splits, interpret=interpret)
         gs_l = jax.lax.dynamic_index_in_dim(fp.global_scale, l, 0,
                                             keepdims=False)
         b_l = (None if fp.b is None
@@ -262,19 +292,35 @@ def _apply_fused(fp: FusedW4A8Linear, l: Array, y: Array, interpret: bool):
     return tuple(outs)
 
 
-def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool):
-    """Single stacked w4a8 projection (same math as stacked.decode qmm)."""
+def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool,
+                 factor_kernel: str = "xla"):
+    """Single stacked w4a8 projection (same math as stacked.decode qmm).
+
+    ``factor_kernel="l"`` (int8 factors only) fuses the L-factor add into
+    the packed kernel with the thin R contraction as an XLA dot — same
+    trade as the fused groups. The full in-kernel R path
+    (quantized_matmul_w4a8_lr_stacked with one projection) measured SLOWER
+    here (54.9 vs 51.3 us at the down_proj shape): the R-slab DMA + xr
+    compute serialize before the first output block, while XLA factor work
+    overlaps with the packed kernel."""
     from ee274_convexcaldera_llm_quantization_tpu.models import stacked as st
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
 
-    # note: the single-kernel packed+low-rank path
-    # (quantized_matmul_w4a8_lr_stacked with one projection) measured
-    # SLOWER here (54.9 vs 51.3 us at the down_proj shape) — the R-slab
-    # DMA + xr compute serialize before the first output block, while the
-    # XLA factor path below overlaps fully with the packed kernel
-    yq = Kr.quantized_matmul_w4a8_stacked(
-        y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
-    out = yq + st._low_rank_layer(lin, l, y)
+    if factor_kernel == "l" and lin.L_scale is not None:
+        rank = lin.L.shape[2]
+        R_l = jax.lax.dynamic_index_in_dim(lin.R, l, 0, keepdims=False)
+        xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        xr = xr * jax.lax.dynamic_index_in_dim(
+            lin.R_scale, l, 0, keepdims=False)[:, 0][None, :]
+        out = Kr.quantized_matmul_w4a8_l_stacked(
+            y, lin.packed, lin.scales, l, xr, lin.L, lin.L_scale,
+            num_bits=lin.num_bits, rank=rank,
+            splits=(lin.packed.shape[1],), interpret=interpret)
+    else:
+        yq = Kr.quantized_matmul_w4a8_stacked(
+            y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret)
+        out = yq + st._low_rank_layer(lin, l, y)
     gs = jax.lax.dynamic_index_in_dim(lin.global_scale, l, 0, keepdims=False)
     out = out * gs
     if lin.b is not None:
@@ -367,12 +413,13 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
             attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret)
+        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
+                             lp.qkv.factor_kernel)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
         x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret)
+                             interpret, lp.qkv.factor_kernel)
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
@@ -489,12 +536,13 @@ def prefill_chunk_fused(params: FusedStackedParams, tokens: Array,
             ck = jax.lax.dynamic_index_in_dim(kl, slot, 0, keepdims=True)
             cv = jax.lax.dynamic_index_in_dim(vl, slot, 0, keepdims=True)
             attn = llama._attention(q, ck, cv, mask).reshape(C, config.q_dim)
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret)
+        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
+                             lp.qkv.factor_kernel)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
         x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret)
+                             interpret, lp.qkv.factor_kernel)
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
@@ -588,12 +636,13 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
                 jax.lax.dynamic_update_slice(
                     cache.v, v.astype(cache.v.dtype)[None],
                     (l, slot, 0, 0, 0)))
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret)
+        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
+                             lp.qkv.factor_kernel)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
         x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret)
+                             interpret, lp.qkv.factor_kernel)
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))

@@ -738,6 +738,146 @@ def quantized_matmul_w4a8_lr_stacked(
     return out[:M]
 
 
+def _qmm_w4a8_l_stacked_kernel(l_ref, pid_ref, xq_ref, w_ref, s_ref, sx_ref,
+                               xr_ref, L_ref, Ls_ref, o_ref, *,
+                               num_bits: int, chunk_bytes: int, rank: int,
+                               single: bool):
+    """Stacked W4A8 matmul with only the ``L``-factor half fused in.
+
+    The caller computes ``xr = (x @ R[l].T) * R_scale[l]`` with a plain XLA
+    dot (tiny: (TM, K) x (K, sum_ranks)) and passes it in; each output block
+    adds ``xr_window @ L_block.T`` where ``L_block`` is the (block_n, rank)
+    slab of the N-concatenated factors. Unlike the full
+    :func:`_qmm_w4a8_lr_stacked_kernel`, no R slab is DMA'd or converted
+    inside the kernel, so nothing serializes ahead of the first output block
+    (the measured regression of the full fusion, see
+    ``models/fused.quantize_factors_int8_fused``); unlike the XLA factor
+    path, the big per-layer ``L`` matrices are never copied out of the
+    stacked HBM array by ``dynamic_index_in_dim`` (~0.18 GB/step of copy
+    write+read traffic on Llama-2-7B rank-128).
+    """
+    del l_ref
+    j = pl.program_id(1)
+    f = _pack_factor(num_bits)
+    maxq = 2 ** (num_bits - 1) - 1
+    plane_len = w_ref.shape[2]
+    TM = xq_ref.shape[0]
+    TN = w_ref.shape[1]
+    xq = xq_ref[:]
+    acc = jnp.zeros((TM, TN), jnp.int32)
+    for c in range(plane_len // chunk_bytes):
+        chunk = w_ref[0, :, c * chunk_bytes:(c + 1) * chunk_bytes]
+        chunk = chunk.astype(jnp.int32)
+        for p in range(f):
+            if f == 1:
+                u = (chunk - maxq).astype(jnp.int8)
+            else:
+                u = _unpack_plane_unsigned(chunk, p, num_bits, f)
+            koff = p * plane_len + c * chunk_bytes
+            acc += jax.lax.dot_general(
+                xq[:, koff:koff + chunk_bytes], u,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    if f > 1:
+        acc = acc - maxq * _rowsum_i32(xq)
+
+    if single:
+        xr_j = xr_ref[:]
+    else:
+        xr_j = xr_ref[:, pl.ds(pid_ref[j] * rank, rank)]  # rank % 128 == 0
+    Lb = L_ref[0].astype(jnp.float32).astype(jnp.bfloat16)   # (TN, rank)
+    ylr = jax.lax.dot_general(
+        xr_j.astype(jnp.bfloat16), Lb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc.astype(jnp.float32)
+                * s_ref[0, :, 0][None, :] * sx_ref[:, 0][:, None]
+                + ylr * Ls_ref[0, :, 0][None, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bits", "rank", "splits", "block_m", "block_n",
+                     "interpret"))
+def quantized_matmul_w4a8_l_stacked(
+    x: jax.Array,
+    packed: jax.Array,       # (layers, sumN, K/f) uint8
+    row_scales: jax.Array,   # (layers, sumN, 1) f32
+    layer: jax.Array,        # () or (1,) int32
+    xr: jax.Array,           # (M, n_proj * rank) f32 — (x @ R[l].T) * Rs[l]
+    L_cat: jax.Array,        # (layers, sumN, rank) int8 codes, N-concat
+    L_scale_cat: jax.Array,  # (layers, sumN, 1) f32
+    num_bits: int,
+    rank: int,
+    splits: Tuple[int, ...],
+    block_m: int = 128,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """W4A8 matmul + L-factor add against layer ``layer``: one kernel
+    computes ``x @ dequant(packed).T + xr @ L.T`` for a fusion group of
+    ``len(splits)`` same-input projections, with ``xr`` (the thin
+    R-contraction) supplied by the caller. Factor numerics match
+    :func:`low_rank_matmul` exactly (bf16 dot on the f32-rescaled xr)."""
+    f = _pack_factor(num_bits)
+    M, K = x.shape
+    N = packed.shape[1]
+    assert packed.shape[2] * f == K
+    assert packed.dtype == jnp.uint8, packed.dtype
+    assert sum(splits) == N and L_cat.shape[1] == N
+    assert xr.shape == (M, len(splits) * rank), (xr.shape, splits, rank)
+    block_n = min(block_n, min(splits))
+    while any(n % block_n for n in splits):
+        block_n //= 2
+    plane_len = K // f
+    chunk_bytes = _pick_chunk(plane_len, 1, block_n)
+    single = len(splits) == 1
+
+    pid = []
+    for i, n in enumerate(splits):
+        pid += [i] * (n // block_n)
+    pid = jnp.asarray(pid, jnp.int32)
+
+    xq, sx = quantize_activations_int8(x)
+    TM = min(block_m, _round_up(M, 32))
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
+        xr = jnp.pad(xr, ((0, Mp - M), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Mp // TM, N // block_n),
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i, j, Lx, P: (i, 0)),
+            pl.BlockSpec((1, block_n, plane_len),
+                         lambda i, j, Lx, P: (Lx[0], j, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda i, j, Lx, P: (Lx[0], j, 0)),
+            pl.BlockSpec((TM, 1), lambda i, j, Lx, P: (i, 0)),
+            pl.BlockSpec((TM, xr.shape[1]), lambda i, j, Lx, P: (i, 0)),
+            pl.BlockSpec((1, block_n, rank),
+                         lambda i, j, Lx, P: (Lx[0], j, 0)),
+            pl.BlockSpec((1, block_n, 1), lambda i, j, Lx, P: (Lx[0], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, block_n), lambda i, j, Lx, P: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_w4a8_l_stacked_kernel, num_bits=num_bits,
+                          chunk_bytes=chunk_bytes, rank=rank, single=single),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), pid, xq, packed,
+      row_scales.astype(jnp.float32), sx, xr.astype(jnp.float32), L_cat,
+      L_scale_cat.astype(jnp.float32))
+    return out[:M]
+
+
 def _bf16_stacked_kernel(l_ref, x_ref, w_ref, o_ref):
     del l_ref
     o_ref[:] = jax.lax.dot_general(

@@ -244,6 +244,43 @@ class TestFusedFactorKernelPath:
                / np.linalg.norm(np.asarray(la)))
         assert rel < 0.05
 
+    def test_l_factor_kernel_decode_matches_xla_path(self):
+        # the "l" factor path (L fused in-kernel, xr by XLA) must agree
+        # with the "xla" path bit-for-bit up to float association noise
+        cfg, sp = self._wide()
+        fp_l = fused.quantize_factors_int8_fused(fused.fuse_stacked(sp),
+                                                 fuse_factor_kernel="l")
+        fp_x = fused.quantize_factors_int8_fused(fused.fuse_stacked(sp),
+                                                 fuse_factor_kernel=False)
+        assert fp_l.layers.qkv.factor_kernel == "l"
+        assert fp_l.layers.qkv.L_cat is not None
+
+        y = jax.random.normal(jax.random.PRNGKey(7), (2, cfg.hidden_size))
+        l = jnp.asarray(1)
+        outs_l = fused._apply_fused(fp_l.layers.qkv, l, y, True)
+        outs_x = fused._apply_fused(fp_x.layers.qkv, l, y, True)
+        for a, b in zip(outs_l, outs_x):
+            rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+            assert rel < 1e-5
+        # plain projections through the l-kernel too
+        o_l = fused._apply_plain(fp_l.layers.o_proj, l, y, True, "l")
+        o_x = fused._apply_plain(fp_x.layers.o_proj, l, y, True, "xla")
+        rel = float(jnp.linalg.norm(o_l - o_x) / jnp.linalg.norm(o_x))
+        assert rel < 1e-5
+
+        toks = jax.random.randint(jax.random.PRNGKey(8), (2,), 0,
+                                  cfg.vocab_size)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        ca = llama.KVCache.create(cfg, 2, 16)
+        cb = llama.KVCache.create(cfg, 2, 16)
+        la, _ = fused.decode_step_fused(fp_l, toks, pos, ca, cfg,
+                                        interpret=True)
+        lb, _ = fused.decode_step_fused(fp_x, toks, pos, cb, cfg,
+                                        interpret=True)
+        rel = (np.linalg.norm(np.asarray(lb - la))
+               / np.linalg.norm(np.asarray(la)))
+        assert rel < 0.05
+
     def test_prefill_lcat_matches_xla_attention(self):
         cfg, sp = self._wide()
         fp8 = fused.quantize_factors_int8_fused(fused.fuse_stacked(sp),

@@ -182,6 +182,39 @@ class TestLRStackedFused:
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 1e-5
 
+    def _xr(self, x, R8, Rs, l, splits, r):
+        import jax.numpy as jnp
+        xr = jnp.dot(x.astype(jnp.bfloat16), R8[l].T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        return xr * Rs[l][:, 0][None, :]
+
+    def test_l_only_multi_projection_matches_unfused(self):
+        # L-half fused, xr supplied by the caller (the "l" factor path)
+        rng = np.random.default_rng(2)
+        splits, r, K_ = (512, 256, 256), 128, 512
+        pk, sc, R8, Rs, L8, Ls = self._build(rng, 3, splits, K_, r)
+        x = jnp.asarray(rng.standard_normal((8, K_)), jnp.float32)
+        xr = self._xr(x, R8, Rs, 1, splits, r)
+        out = K.quantized_matmul_w4a8_l_stacked(
+            x, pk, sc, jnp.asarray(1), xr, L8, Ls, num_bits=4, rank=r,
+            splits=splits, interpret=True)
+        ref = self._reference(x, pk, sc, R8, Rs, L8, Ls, 1, splits, r)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 1e-5
+
+    def test_l_only_single_projection(self):
+        rng = np.random.default_rng(3)
+        splits, r, K_ = (512,), 24, 256
+        pk, sc, R8, Rs, L8, Ls = self._build(rng, 2, splits, K_, r)
+        x = jnp.asarray(rng.standard_normal((3, K_)), jnp.float32)
+        xr = self._xr(x, R8, Rs, 0, splits, r)
+        out = K.quantized_matmul_w4a8_l_stacked(
+            x, pk, sc, jnp.asarray(0), xr, L8, Ls, num_bits=4, rank=r,
+            splits=splits, interpret=True)
+        ref = self._reference(x, pk, sc, R8, Rs, L8, Ls, 0, splits, r)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 1e-5
+
     def test_supported_predicate(self):
         assert K.lr_stacked_supported((4096, 4096, 4096), (128, 128, 128))
         assert not K.lr_stacked_supported((4096, 4096), (128, 64))
