@@ -81,6 +81,11 @@ class CalderaLinear:
     # uint16 codes instead of the 4-bit serving pack; utils/checkpoint.py)
     q_method: str = dataclasses.field(default="uniform",
                                       metadata=dict(static=True))
+    # quantization-grid width when it differs from the container width
+    # (e.g. a 3-bit grid served in the 4-bit container, ops.kernels
+    # .container_bits); 0 means grid == container. Bit accounting uses the
+    # grid (information rate); the kernels use num_bits (HBM residency).
+    grid_bits: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -302,12 +307,17 @@ def compress_linear(
             out_features=N, in_features=Kin, mode="w4a8", q_method="e8p")
     if q_method != "uniform":
         raise ValueError(f"unknown serving q_method {q_method!r}")
+    if num_bits == 3 and mode != "w4a8":
+        raise ValueError("3-bit serving (int4-container grid) requires "
+                         "mode='w4a8'")
     if mode == "w4a8":
         packed, scales = K.pack_rowscale(W, num_bits)
         group_size = Kin
+        serve_bits = K.container_bits(num_bits)   # 3-bit grid -> int4 pack
     else:
         group_size = K.resolve_group(num_bits, Kin, group_size)
         packed, scales = K.pack_for_serving(W, num_bits, group_size)
+        serve_bits = num_bits
     return CalderaLinear(
         packed=packed,
         scales=scales,
@@ -315,11 +325,12 @@ def compress_linear(
         R=R.astype(jnp.bfloat16),
         global_scale=jnp.asarray(global_scale, jnp.float32),
         b=bias,
-        num_bits=num_bits,
+        num_bits=serve_bits,
         group_size=group_size,
         out_features=N,
         in_features=Kin,
         mode=mode,
+        grid_bits=num_bits if serve_bits != num_bits else 0,
     )
 
 

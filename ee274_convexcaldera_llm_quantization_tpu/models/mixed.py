@@ -97,8 +97,8 @@ def _bucket_key(lin):
             "mixed fast serving requires w4a8-mode CalderaLinear "
             f"projections (got mode={lin.mode!r}); recompress with "
             "serving_mode='w4a8'")
-    return ("caldera", lin.num_bits, lin.packed.shape, lin.L.shape,
-            lin.b is not None, lin.L_scale is not None,
+    return ("caldera", lin.num_bits, lin.grid_bits, lin.packed.shape,
+            lin.L.shape, lin.b is not None, lin.L_scale is not None,
             lin.R_scale is not None)
 
 

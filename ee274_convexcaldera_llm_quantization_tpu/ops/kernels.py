@@ -40,6 +40,24 @@ def _pack_factor(num_bits: int) -> int:
     return 8 // num_bits
 
 
+def container_bits(num_bits: int) -> int:
+    """HBM-resident container width for a quantization grid.
+
+    2/4/8-bit grids pack natively. A 3-bit grid is served in the 4-bit
+    container: on the TPU the W4A8 kernels are VPU-bound on unpack, and a
+    true 3-bit unpack costs ~4x the vector ops of the 4-bit path (three
+    1-bit sub-plane extractions per code) — more than the 25% HBM-byte
+    saving buys back. Storage/checkpoints still count 3 bits (information
+    rate); only the serving residency is 4-bit, mirroring the e8p repack
+    (``models.compressed.compress_linear``).
+    """
+    if num_bits in (2, 4, 8):
+        return num_bits
+    if num_bits == 3:
+        return 4
+    raise ValueError(f"unsupported serving grid {num_bits}-bit")
+
+
 def resolve_group(num_bits: int, K: int, group_size: Optional[int]) -> int:
     """Pick the scale-group size: the largest candidate dividing ``K / f``.
 
@@ -276,19 +294,26 @@ def pack_rowscale(W: jax.Array, num_bits: int):
     Returns (packed (N, K/f) uint8 in global-plane layout, row_scales
     (N, 1) f32). Coarser than grouped scales but still strictly finer than
     the reference's single whole-matrix scale (``alg.py:247``).
+
+    A 3-bit grid is packed into the 4-bit container (codes in [-3, 3],
+    offset by the container's maxq=7): the kernels run with
+    ``num_bits=container_bits(3)=4`` and their rank-1 bias correction
+    removes the container offset exactly. See :func:`container_bits`.
     """
     N, K = W.shape
-    f = _pack_factor(num_bits)
-    maxq = 2 ** (num_bits - 1) - 1
+    cb = container_bits(num_bits)
+    f = _pack_factor(cb)
+    maxq = 2 ** (num_bits - 1) - 1          # quantization grid
+    cmaxq = 2 ** (cb - 1) - 1               # container offset
     Wf = W.astype(jnp.float32)
     absmax = jnp.maximum(jnp.max(jnp.abs(Wf), axis=1, keepdims=True), 1e-8)
     scales = absmax / maxq
     codes = jnp.clip(jnp.round(Wf / scales), -maxq, maxq)
-    u = (codes + maxq).astype(jnp.uint8)
+    u = (codes + cmaxq).astype(jnp.uint8)
     planes = u.reshape(N, f, K // f)
     packed = jnp.zeros((N, K // f), jnp.uint8)
     for p in range(f):
-        packed = packed | (planes[:, p, :] << (num_bits * (f - 1 - p)))
+        packed = packed | (planes[:, p, :] << (cb * (f - 1 - p)))
     return packed, scales
 
 
