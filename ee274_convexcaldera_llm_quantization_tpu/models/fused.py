@@ -330,16 +330,24 @@ def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret"),
+                   static_argnames=("config", "interpret", "staged_kv"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
-                      interpret: bool = False):
+                      interpret: bool = False, staged_kv: bool = False):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
     one int8 activation quantization per fused group. ``cache`` may be
     bf16 :class:`KVCache` or int8 :class:`QuantKVCache`.
+
+    ``staged_kv`` (head-major caches only): write each layer's new K/V
+    into small (L, B, KVH, D) staging arrays with ONE dynamic_update_slice
+    per array per layer, attend via the staged flash kernel (the current
+    token's K/V ride as extra kernel inputs), and commit to the big cache
+    once per step — 160 update-slice ops instead of 1024 at B=8/L=32,
+    whose XLA thunk overhead is real at ~10 ms steps. Numerically equal to
+    the inline path up to f32 online-softmax ordering.
     """
     quant_kv = isinstance(cache, QuantKVCache)
     head_major = isinstance(cache, HeadMajorQuantKVCache)
@@ -355,9 +363,20 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         mask = jnp.where(valid, 0.0, -1e30)[:, None, None, None, :]
     rows = jnp.arange(B)
     kv_groups = config.num_heads // config.num_kv_heads
+    if staged_kv:
+        if not head_major:
+            raise ValueError("staged_kv requires a HeadMajorQuantKVCache")
+        Lk, KVH, D = config.num_layers, config.num_kv_heads, config.head_dim
+        staging = (jnp.zeros((Lk, B, KVH, D), jnp.int8),
+                   jnp.zeros((Lk, B, KVH), jnp.float32),
+                   jnp.zeros((Lk, B, KVH, D), jnp.int8),
+                   jnp.zeros((Lk, B, KVH), jnp.float32))
 
     def body(l, carry):
-        x, cache = carry
+        if staged_kv:
+            x, cache, stg = carry
+        else:
+            x, cache = carry
         an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], an, config.rms_norm_eps)[:, 0]
         q, k, v = _apply_fused(lp.qkv, l, y, interpret)
@@ -366,7 +385,22 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         v = v.reshape(B, 1, config.num_kv_heads, config.head_dim)
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
-        if head_major:
+        if head_major and staged_kv:
+            kq, ksc = llama.quantize_kv(k[:, 0])
+            vq, vsc = llama.quantize_kv(v[:, 0])
+            sk, sks, sv, svs = stg
+            sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, 0, 0))
+            sks = jax.lax.dynamic_update_slice(sks, ksc[None], (l, 0, 0))
+            sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, 0, 0))
+            svs = jax.lax.dynamic_update_slice(svs, vsc[None], (l, 0, 0))
+            stg = (sk, sks, sv, svs)
+            qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
+                                 config.head_dim)
+            attn = AT.flash_decode_q8_staged(
+                qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                sk, sks, sv, svs, l, pos,
+                interpret=interpret).reshape(B, config.q_dim)
+        elif head_major:
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
             # per-row dynamic_update_slice instead of a gather-scatter:
@@ -420,9 +454,29 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
         x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
                              interpret, lp.qkv.factor_kernel)
+        if staged_kv:
+            return x, cache, stg
         return x, cache
 
-    x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    if staged_kv:
+        x, cache, stg = jax.lax.fori_loop(
+            0, config.num_layers, body, (x, cache, staging))
+        # commit the staged K/V for all layers at once: one (L, 1, KVH,
+        # 1, D) column write per batch row per array
+        sk, sks, sv, svs = stg
+        ck, cv, cks, cvs = cache
+        for b in range(B):
+            ck = jax.lax.dynamic_update_slice(
+                ck, sk[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, sv[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, sks[:, b][:, None, :, None], (0, b, 0, pos[b]))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, svs[:, b][:, None, :, None], (0, b, 0, pos[b]))
+        cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+    else:
+        x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
     logits = llama._logits(
         x[:, None, :],
         llama.ModelParams(params.embed, [], params.final_norm,

@@ -174,6 +174,150 @@ def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
     return out
 
 
+def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
+                                   v_ref, vs_ref, kn_ref, ksn_ref, vn_ref,
+                                   vsn_ref, o_ref, m_ref, s_ref, acc_ref, *,
+                                   block_t: int, scale: float):
+    """Staged-commit variant: the cache holds tokens ``< pos[b]`` only; the
+    CURRENT token's quantized K/V arrive as separate (layer-stacked) inputs
+    and contribute one extra online-softmax update in the final block. Lets
+    the decode step stage each layer's new K/V with ONE dynamic_update_slice
+    per array (instead of one per batch row) and commit to the big cache
+    once per step — same math as :func:`_flash_decode_q8_kernel` to f32
+    rounding (the staged values are the same int8 codes + scales the
+    inline path would have read back from the cache)."""
+    del l_ref
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    last = jnp.maximum(pos_ref[b] - 1, 0) // block_t
+
+    @pl.when((t <= last) & (pos_ref[b] > 0))
+    def _compute():
+        q = q_ref[0]                                  # (KVH, G, D) f32
+        k = k_ref[0, 0].astype(jnp.float32)           # (KVH, block_t, D)
+        ks = ks_ref[0, 0]                             # (KVH, block_t) f32
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (KVH, G, block_t)
+        logits = logits * (ks * scale)[:, None, :]
+
+        tok = t * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 2)
+        valid = tok < pos_ref[b]                      # cache: tokens < pos
+        logits = jnp.where(valid, logits, _NEG_INF)
+
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+
+        v = v_ref[0, 0].astype(jnp.float32)
+        vs = vs_ref[0, 0]
+        pv = p * vs[:, None, :]
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(t == nt - 1)
+    def _fin():
+        # current token: one extra online-softmax update from the staged
+        # K/V, then normalize
+        q = q_ref[0]                                  # (KVH, G, D)
+        kn = kn_ref[0, 0].astype(jnp.float32)         # (KVH, D)
+        logit = jnp.sum(q * kn[:, None, :], axis=2,
+                        keepdims=True)                # (KVH, G, 1)
+        logit = logit * (ksn_ref[0, 0][:, None, None] * scale)
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, logit)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logit - m_new)                    # (KVH, G, 1)
+        s = s_ref[:, :, :1] * alpha + p
+        vn = vn_ref[0, 0].astype(jnp.float32)         # (KVH, D)
+        acc = acc_ref[:] * alpha + p * (
+            vn * vsn_ref[0, 0][:, None])[:, None, :]
+        o_ref[0] = acc / s
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_t", "interpret"))
+def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
+                           vs: Array, k_new: Array, ks_new: Array,
+                           v_new: Array, vs_new: Array, layer: Array,
+                           pos: Array, block_t: int = 256,
+                           interpret: bool = False) -> Array:
+    """:func:`flash_decode_q8` with the current token's K/V supplied as
+    layer-stacked staging arrays instead of pre-written into the cache.
+
+    Args (beyond flash_decode_q8): k_new/v_new (L, B, KVH, D) int8,
+    ks_new/vs_new (L, B, KVH) f32 — this step's quantized K/V per layer.
+    The cache is expected to hold tokens ``< pos[b]`` only.
+    """
+    B, KVH, G, D = q.shape
+    T = k.shape[3]
+    block_t = min(block_t, T)
+    while T % block_t:
+        block_t //= 2
+    scale = 1.0 / (D ** 0.5)
+
+    def _kv_idx(b, t, L, P):
+        return (L[0], b, 0,
+                jnp.minimum(t, jnp.maximum(P[b] - 1, 0) // block_t), 0)
+
+    def _sc_idx(b, t, L, P):
+        return (L[0], b, 0,
+                jnp.minimum(t, jnp.maximum(P[b] - 1, 0) // block_t))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T // block_t),
+        in_specs=[
+            pl.BlockSpec((1, KVH, G, D), lambda b, t, L, P: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, 1, KVH, D), lambda b, t, L, P: (L[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, KVH), lambda b, t, L, P: (L[0], b, 0)),
+            pl.BlockSpec((1, 1, KVH, D), lambda b, t, L, P: (L[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, KVH), lambda b, t, L, P: (L[0], b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, KVH, G, D),
+                               lambda b, t, L, P: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, G, 128), jnp.float32),
+            pltpu.VMEM((KVH, G, 128), jnp.float32),
+            pltpu.VMEM((KVH, G, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_q8_staged_kernel, block_t=block_t,
+                          scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(pos, jnp.int32),
+      q.astype(jnp.float32), k, ks.astype(jnp.float32), v,
+      vs.astype(jnp.float32), k_new, ks_new.astype(jnp.float32), v_new,
+      vs_new.astype(jnp.float32))
+    return out
+
+
 def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, s_ref, acc_ref,
                           *, block_q: int, block_k: int, scale: float):
     """Grid (B, KVH, S/block_q, S/block_k); the k-block axis is innermost

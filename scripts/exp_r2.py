@@ -1,0 +1,215 @@
+"""Round-2 perf experiments, batched into ONE process (the relay charges
+~4 min of warmup to the first compile of each process; in-process
+follow-up compiles take seconds).
+
+Phases (select with --phases, comma-separated):
+  factor   - decode step A/B: factor_kernel "xla" vs "l"
+  kvwrite  - decode step with flash attention but NO cache writes
+             (isolates the per-row dynamic_update_slice cost; numerics
+             are garbage, timing is valid)
+  blockn   - packed-kernel microbench: block_n 256 vs 512 at the
+             gate/up and down shapes
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def slope(fn, n1, n2, reps=3):
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn(n)
+            best = min(best, time.time() - t0)
+        return best
+    t1, t2 = timed(n1), timed(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama2-7b")
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--rank", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--context", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--phases", default="factor,kvwrite,blockn")
+    args = ap.parse_args()
+
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    from bench import build_compressed_llama_params
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        fused as fusedm, llama)
+    from ee274_convexcaldera_llm_quantization_tpu.models.config import PRESETS
+    from ee274_convexcaldera_llm_quantization_tpu.ops import (
+        attention as AT, kernels as Kr)
+
+    config = PRESETS[args.model]
+    B = args.batch
+    backend = jax.devices()[0].platform
+    use_pallas = backend in ("tpu", "axon")
+    phases = args.phases.split(",")
+    results = {}
+
+    t0 = time.time()
+    base = build_compressed_llama_params(config, args.bits, args.rank,
+                                         mode="w4a8")
+    base = fusedm.fuse_stacked(base)
+    jax.block_until_ready(base.embed)
+    print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    tokens = jnp.zeros((B,), jnp.int32)
+    pos0 = args.context // 2
+
+    def decode_bench(params, skip_kv_writes=False):
+        cache = llama.HeadMajorQuantKVCache.create(config, B, args.context)
+        kv_groups = config.num_heads // config.num_kv_heads
+
+        def step(params, tok, pos, cache):
+            lp = params.layers          # from the jitted argument, NOT a
+            x = params.embed[tok].astype(jnp.float32)   # closure constant
+            cos, sin = llama.rope_tables(config, pos[:, None])
+
+            def body(l, carry):
+                x, cache = carry
+                an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0,
+                                                  keepdims=False)
+                y = llama.rms_norm(x[:, None, :], an,
+                                   config.rms_norm_eps)[:, 0]
+                q, k, v = fusedm._apply_fused(lp.qkv, l, y,
+                                              not use_pallas)
+                q = q.reshape(B, 1, config.num_heads, config.head_dim)
+                k = k.reshape(B, 1, config.num_kv_heads, config.head_dim)
+                v = v.reshape(B, 1, config.num_kv_heads, config.head_dim)
+                q = llama.apply_rope(q, cos, sin)
+                k = llama.apply_rope(k, cos, sin)
+                kq, ksc = llama.quantize_kv(k[:, 0])
+                vq, vsc = llama.quantize_kv(v[:, 0])
+                ck, cv, cks, cvs = cache
+                if not skip_kv_writes:
+                    for b in range(B):
+                        ck = jax.lax.dynamic_update_slice(
+                            ck, kq[b][None, None, :, None, :],
+                            (l, b, 0, pos[b], 0))
+                        cv = jax.lax.dynamic_update_slice(
+                            cv, vq[b][None, None, :, None, :],
+                            (l, b, 0, pos[b], 0))
+                        cks = jax.lax.dynamic_update_slice(
+                            cks, ksc[b][None, None, :, None],
+                            (l, b, 0, pos[b]))
+                        cvs = jax.lax.dynamic_update_slice(
+                            cvs, vsc[b][None, None, :, None],
+                            (l, b, 0, pos[b]))
+                else:
+                    # keep the quantized values alive so XLA cannot DCE
+                    # the quantize work being measured
+                    x = x + 1e-30 * (jnp.sum(kq) + jnp.sum(vq))
+                cache = llama.HeadMajorQuantKVCache(ck, cv, cks, cvs)
+                qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
+                                     config.head_dim)
+                attn = AT.flash_decode_q8(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    l, pos, interpret=not use_pallas).reshape(
+                    B, config.q_dim)
+                x = x + fusedm._apply_plain(lp.o_proj, l, attn,
+                                            not use_pallas,
+                                            lp.qkv.factor_kernel)
+                mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0,
+                                                  keepdims=False)
+                y = llama.rms_norm(x[:, None, :], mn,
+                                   config.rms_norm_eps)[:, 0]
+                gate, up = fusedm._apply_fused(lp.gateup, l, y,
+                                               not use_pallas)
+                x = x + fusedm._apply_plain(lp.down_proj, l,
+                                            jax.nn.silu(gate) * up,
+                                            not use_pallas,
+                                            lp.qkv.factor_kernel)
+                return x, cache
+
+            x, cache = jax.lax.fori_loop(0, config.num_layers, body,
+                                         (x, cache))
+            logits = llama._logits(
+                x[:, None, :],
+                llama.ModelParams(params.embed, [], params.final_norm,
+                                  params.lm_head),
+                config, False, not use_pallas)
+            return logits[:, 0, :], cache
+
+        @jax.jit
+        def multi_step(params, n, cache):
+            def body(i, carry):
+                cache, tok, acc = carry
+                pos = jnp.full((B,), pos0 + i, jnp.int32)
+                logits, cache = step(params, tok, pos, cache)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return cache, tok, acc + jnp.sum(logits) * jnp.float32(1e-9)
+            return jax.lax.fori_loop(0, n, body,
+                                     (cache, tokens, jnp.float32(0)))[2]
+
+        t0 = time.time()
+        float(multi_step(params, 1, cache))
+        compile_s = time.time() - t0
+        dt = slope(lambda n: float(multi_step(params, n, cache)),
+                   8, 8 + args.steps)
+        return dt * 1000, compile_s
+
+    if "factor" in phases:
+        for fk in ("xla", "l"):
+            params = fusedm.quantize_factors_int8_fused(
+                base, fuse_factor_kernel=fk)
+            ms, cs = decode_bench(params)
+            results[f"decode_factor_{fk}_ms"] = round(ms, 3)
+            print(f"# factor={fk}: {ms:.2f} ms/step ({B / ms * 1000:.0f} "
+                  f"tok/s)  [compile {cs:.0f}s]", file=sys.stderr,
+                  flush=True)
+
+    if "kvwrite" in phases:
+        params = fusedm.quantize_factors_int8_fused(base,
+                                                    fuse_factor_kernel="l")
+        ms, cs = decode_bench(params, skip_kv_writes=True)
+        results["decode_no_kvwrite_ms"] = round(ms, 3)
+        print(f"# no-kvwrite: {ms:.2f} ms/step  [compile {cs:.0f}s]",
+              file=sys.stderr, flush=True)
+
+    if "blockn" in phases:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        h, im = config.hidden_size, config.intermediate_size
+        for (name, N, K_) in (("gateup", 2 * im, h), ("down", h, im)):
+            pk = jax.device_put(jnp.asarray(
+                rng.integers(0, 255, (N, K_ // 2)), jnp.uint8))
+            sc = jnp.full((N, 1), 1e-3, jnp.float32)
+            x = jnp.asarray(rng.standard_normal((B, K_)), jnp.float32)
+            for bn in (256, 512):
+                @jax.jit
+                def many(x, n):
+                    def body(i, acc):
+                        y = Kr.quantized_matmul_w4a8(
+                            x + acc * 1e-30, pk, sc, 4, block_n=bn)
+                        return acc + jnp.sum(y) * 1e-9
+                    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+                float(many(x, 1))
+                dt = slope(lambda n: float(many(x, n)), 8, 72)
+                gbs = (N * K_ // 2) / dt / 1e9
+                results[f"qmm_{name}_bn{bn}_us"] = round(dt * 1e6, 2)
+                print(f"# qmm {name} block_n={bn}: {dt * 1e6:.1f} us "
+                      f"({gbs:.0f} GB/s packed)", file=sys.stderr,
+                      flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

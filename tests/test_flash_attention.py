@@ -114,6 +114,100 @@ def _causal_ref(q, k, v):
                             v.astype(jnp.float32), mask)
 
 
+class TestFlashDecodeStaged:
+    def test_staged_matches_inline(self):
+        # staged variant (current token's K/V as extra inputs, cache holds
+        # tokens < pos) must equal the inline kernel whose cache already
+        # contains the token at pos
+        L, B, KVH, G, D, T = 3, 2, 2, 2, 32, 64
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (B, KVH, G, D), jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(1), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([17, 40], jnp.int32)
+        layer = jnp.asarray(1, jnp.int32)
+        # inline reference: cache[pos] is the "new" token
+        ref = AT.flash_decode_q8(q, k, v, ksc, vsc, layer, pos,
+                                 block_t=32, interpret=True)
+        # staged: extract the at-pos entries into staging arrays; the cache
+        # content at pos is then irrelevant (mask tok < pos)
+        rows = jnp.arange(B)
+        k_new = jnp.stack([k[l, rows, :, pos] for l in range(L)])
+        v_new = jnp.stack([v[l, rows, :, pos] for l in range(L)])
+        ks_new = jnp.stack([ksc[l, rows, :, pos] for l in range(L)])
+        vs_new = jnp.stack([vsc[l, rows, :, pos] for l in range(L)])
+        # poison the cache at pos to prove it is not read
+        k_p = k.at[:, rows, :, pos].set(127)
+        v_p = v.at[:, rows, :, pos].set(127)
+        out = AT.flash_decode_q8_staged(
+            q, k_p, v_p, ksc, vsc, k_new, ks_new, v_new, vs_new, layer,
+            pos, block_t=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_staged_pos_zero(self):
+        # pos == 0: no cache tokens; attention must equal softmax over the
+        # single staged token (i.e. its V row, dequantized)
+        L, B, KVH, G, D, T = 2, 1, 2, 2, 32, 64
+        q = jax.random.normal(jax.random.PRNGKey(3), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(4), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([0], jnp.int32)
+        kn = jnp.ones((L, B, KVH, D), jnp.int8)
+        vn = 3 * jnp.ones((L, B, KVH, D), jnp.int8)
+        ksn = jnp.full((L, B, KVH), 0.01, jnp.float32)
+        vsn = jnp.full((L, B, KVH), 0.01, jnp.float32)
+        out = AT.flash_decode_q8_staged(
+            q, k, v, ksc, vsc, kn, ksn, vn, vsn, jnp.asarray(0), pos,
+            block_t=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.full((B, KVH, G, D), 0.03),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_decode_step_staged_matches_inline(self, ):
+        cfg = TINY
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        from ee274_convexcaldera_llm_quantization_tpu.models import (
+            compressed, stacked)
+        from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+            LayerParams)
+
+        def conv(lp):
+            fields = {}
+            for name in LayerParams._fields:
+                lin = getattr(lp, name)
+                if isinstance(lin, compressed.DenseLinear) and \
+                        not name.endswith("_norm"):
+                    fields[name] = compressed.compress_linear(
+                        lin.w.astype(jnp.float32) * 0.9,
+                        0.1 * jnp.eye(lin.w.shape[0], 8),
+                        0.1 * jnp.eye(8, lin.w.shape[1]), 4, mode="w4a8",
+                        bias=lin.b)
+                else:
+                    fields[name] = lin
+            return LayerParams(**fields)
+
+        model = llama.ModelParams(
+            embed=params.embed, layers=[conv(lp) for lp in params.layers],
+            final_norm=params.final_norm, lm_head=params.lm_head)
+        sp = stacked.stack_layers(model)
+        fp = fusedm.quantize_factors_int8_fused(fusedm.fuse_stacked(sp))
+        toks = jnp.asarray([1, 5], jnp.int32)
+        pos = jnp.asarray([3, 6], jnp.int32)
+        ca = llama.HeadMajorQuantKVCache.create(cfg, 2, 16)
+        cb = llama.HeadMajorQuantKVCache.create(cfg, 2, 16)
+        la, ca2 = fusedm.decode_step_fused(fp, toks, pos, ca, cfg,
+                                           interpret=True)
+        lb, cb2 = fusedm.decode_step_fused(fp, toks, pos, cb, cfg,
+                                           interpret=True, staged_kv=True)
+        rel = (np.linalg.norm(np.asarray(lb - la))
+               / np.linalg.norm(np.asarray(la)))
+        assert rel < 0.05
+        # committed caches identical (same int8 codes land at pos)
+        np.testing.assert_array_equal(np.asarray(ca2.k), np.asarray(cb2.k))
+        np.testing.assert_array_equal(np.asarray(ca2.v), np.asarray(cb2.v))
+
+
 class TestFlashPrefillKernel:
     @pytest.mark.parametrize("B,KVH,G,D,S,bq,bk", [
         (2, 2, 1, 32, 64, 16, 16),     # MHA, multiple k blocks per q block
