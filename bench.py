@@ -329,6 +329,12 @@ def main():
                         help="low-rank factor path on the fused decode "
                              "step: XLA slab dots, L-half fused in-kernel "
                              "(default), or fully in-kernel")
+    parser.add_argument("--staged-kv",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="stage each layer's new K/V and commit to the "
+                             "big cache once per step (head-major cache "
+                             "only): 160 update-slice thunks instead of "
+                             "1024 at B=8/L=32")
     parser.add_argument("--flash-attn",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="flash decode-attention Pallas kernel over a "
@@ -423,7 +429,8 @@ def main():
             if args.fused:
                 logits, cache = fusedm.decode_step_fused(
                     params, tok, pos, cache, config,
-                    interpret=not use_pallas)
+                    interpret=not use_pallas,
+                    staged_kv=args.staged_kv and args.flash_attn)
             elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
@@ -472,7 +479,8 @@ def main():
     variant = ("-fused" if args.fused else "") + \
         ("-flash" if args.flash_attn else
          ("-kv8" if args.kv_int8 else "")) + \
-        ("-f8" if args.int8_factors else "")
+        ("-f8" if args.int8_factors else "") + \
+        ("-staged" if (args.staged_kv and args.flash_attn) else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
                   f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "

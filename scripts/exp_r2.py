@@ -9,6 +9,8 @@ Phases (select with --phases, comma-separated):
              are garbage, timing is valid)
   blockn   - packed-kernel microbench: block_n 256 vs 512 at the
              gate/up and down shapes
+  staged   - decode_step_fused A/B: staged_kv False vs True (batched
+             staging-commit KV writes vs 1024 inline update-slices)
 """
 
 import argparse
@@ -182,6 +184,36 @@ def main():
         results["decode_no_kvwrite_ms"] = round(ms, 3)
         print(f"# no-kvwrite: {ms:.2f} ms/step  [compile {cs:.0f}s]",
               file=sys.stderr, flush=True)
+
+    if "staged" in phases:
+        params = fusedm.quantize_factors_int8_fused(base,
+                                                    fuse_factor_kernel="l")
+        for staged in (False, True):
+            cache = llama.HeadMajorQuantKVCache.create(config, B,
+                                                       args.context)
+
+            @jax.jit
+            def multi(params, n, cache, staged=staged):
+                def body(i, carry):
+                    cache, tok, acc = carry
+                    pos = jnp.full((B,), pos0 + i, jnp.int32)
+                    logits, cache = fusedm.decode_step_fused(
+                        params, tok, pos, cache, config,
+                        interpret=not use_pallas, staged_kv=staged)
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return cache, tok, acc + jnp.sum(logits) * 1e-9
+                return jax.lax.fori_loop(
+                    0, n, body, (cache, tokens, jnp.float32(0)))[2]
+
+            t0 = time.time()
+            float(multi(params, 1, cache))
+            cs = time.time() - t0
+            dt = slope(lambda n: float(multi(params, n, cache)),
+                       8, 8 + args.steps)
+            results[f"decode_staged_{staged}_ms"] = round(dt * 1000, 3)
+            print(f"# staged_kv={staged}: {dt * 1000:.2f} ms/step "
+                  f"({B / dt:.0f} tok/s)  [compile {cs:.0f}s]",
+                  file=sys.stderr, flush=True)
 
     if "blockn" in phases:
         import numpy as np
