@@ -367,10 +367,15 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         if not head_major:
             raise ValueError("staged_kv requires a HeadMajorQuantKVCache")
         Lk, KVH, D = config.num_layers, config.num_kv_heads, config.head_dim
+        # int8 codes + scales for the end-of-step cache commit, plus the
+        # dequantized f32 values the staged flash kernel consumes (Mosaic
+        # rejects (1, 1, KVH) scale blocks, so the kernel takes code*scale)
         staging = (jnp.zeros((Lk, B, KVH, D), jnp.int8),
                    jnp.zeros((Lk, B, KVH), jnp.float32),
                    jnp.zeros((Lk, B, KVH, D), jnp.int8),
-                   jnp.zeros((Lk, B, KVH), jnp.float32))
+                   jnp.zeros((Lk, B, KVH), jnp.float32),
+                   jnp.zeros((Lk, B, KVH, D), jnp.float32),
+                   jnp.zeros((Lk, B, KVH, D), jnp.float32))
 
     def body(l, carry):
         if staged_kv:
@@ -388,17 +393,21 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         if head_major and staged_kv:
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
-            sk, sks, sv, svs = stg
+            kf = kq.astype(jnp.float32) * ksc[..., None]
+            vf = vq.astype(jnp.float32) * vsc[..., None]
+            sk, sks, sv, svs, skf, svf = stg
             sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, 0, 0))
             sks = jax.lax.dynamic_update_slice(sks, ksc[None], (l, 0, 0))
             sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, 0, 0))
             svs = jax.lax.dynamic_update_slice(svs, vsc[None], (l, 0, 0))
-            stg = (sk, sks, sv, svs)
+            skf = jax.lax.dynamic_update_slice(skf, kf[None], (l, 0, 0, 0))
+            svf = jax.lax.dynamic_update_slice(svf, vf[None], (l, 0, 0, 0))
+            stg = (sk, sks, sv, svs, skf, svf)
             qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
                                  config.head_dim)
             attn = AT.flash_decode_q8_staged(
                 qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                sk, sks, sv, svs, l, pos,
+                skf, svf, l, pos,
                 interpret=interpret).reshape(B, config.q_dim)
         elif head_major:
             kq, ksc = llama.quantize_kv(k[:, 0])
@@ -463,7 +472,7 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             0, config.num_layers, body, (x, cache, staging))
         # commit the staged K/V for all layers at once: one (L, 1, KVH,
         # 1, D) column write per batch row per array
-        sk, sks, sv, svs = stg
+        sk, sks, sv, svs = stg[:4]
         ck, cv, cks, cvs = cache
         for b in range(B):
             ck = jax.lax.dynamic_update_slice(

@@ -175,17 +175,21 @@ def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
 
 
 def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
-                                   v_ref, vs_ref, kn_ref, ksn_ref, vn_ref,
-                                   vsn_ref, o_ref, m_ref, s_ref, acc_ref, *,
+                                   v_ref, vs_ref, kn_ref, vn_ref,
+                                   o_ref, m_ref, s_ref, acc_ref, *,
                                    block_t: int, scale: float):
     """Staged-commit variant: the cache holds tokens ``< pos[b]`` only; the
-    CURRENT token's quantized K/V arrive as separate (layer-stacked) inputs
-    and contribute one extra online-softmax update in the final block. Lets
+    CURRENT token's K/V arrive as separate (layer-stacked) inputs and
+    contribute one extra online-softmax update in the final block. Lets
     the decode step stage each layer's new K/V with ONE dynamic_update_slice
     per array (instead of one per batch row) and commit to the big cache
     once per step — same math as :func:`_flash_decode_q8_kernel` to f32
-    rounding (the staged values are the same int8 codes + scales the
-    inline path would have read back from the cache)."""
+    rounding. The staged K/V come in PRE-DEQUANTIZED f32 ``(L, B, KVH, D)``
+    (the same ``code * scale`` values the inline path would read back from
+    the cache — bit-identical): Mosaic rejects the (1, 1, KVH) f32 blocks a
+    separate per-(layer, head) scale input would need (last dim must be a
+    multiple of 128 or the full array), and at one token per step the f32
+    staging costs only 2x the int8+scale bytes on a tiny array."""
     del l_ref
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -233,35 +237,34 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
     @pl.when(t == nt - 1)
     def _fin():
         # current token: one extra online-softmax update from the staged
-        # K/V, then normalize
+        # (dequantized) K/V, then normalize
         q = q_ref[0]                                  # (KVH, G, D)
-        kn = kn_ref[0, 0].astype(jnp.float32)         # (KVH, D)
+        kn = kn_ref[0, 0]                             # (KVH, D) f32
         logit = jnp.sum(q * kn[:, None, :], axis=2,
-                        keepdims=True)                # (KVH, G, 1)
-        logit = logit * (ksn_ref[0, 0][:, None, None] * scale)
+                        keepdims=True) * scale        # (KVH, G, 1)
         m_prev = m_ref[:, :, :1]
         m_new = jnp.maximum(m_prev, logit)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(logit - m_new)                    # (KVH, G, 1)
         s = s_ref[:, :, :1] * alpha + p
-        vn = vn_ref[0, 0].astype(jnp.float32)         # (KVH, D)
-        acc = acc_ref[:] * alpha + p * (
-            vn * vsn_ref[0, 0][:, None])[:, None, :]
+        vn = vn_ref[0, 0]                             # (KVH, D) f32
+        acc = acc_ref[:] * alpha + p * vn[:, None, :]
         o_ref[0] = acc / s
 
 
 @functools.partial(jax.jit,
                    static_argnames=("block_t", "interpret"))
 def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
-                           vs: Array, k_new: Array, ks_new: Array,
-                           v_new: Array, vs_new: Array, layer: Array,
+                           vs: Array, k_new: Array, v_new: Array,
+                           layer: Array,
                            pos: Array, block_t: int = 256,
                            interpret: bool = False) -> Array:
     """:func:`flash_decode_q8` with the current token's K/V supplied as
     layer-stacked staging arrays instead of pre-written into the cache.
 
-    Args (beyond flash_decode_q8): k_new/v_new (L, B, KVH, D) int8,
-    ks_new/vs_new (L, B, KVH) f32 — this step's quantized K/V per layer.
+    Args (beyond flash_decode_q8): k_new/v_new (L, B, KVH, D) f32 — this
+    step's DEQUANTIZED (``code * scale``) K/V per layer; passing the exact
+    dequantized values keeps the math bit-identical to the inline path.
     The cache is expected to hold tokens ``< pos[b]`` only.
     """
     B, KVH, G, D = q.shape
@@ -289,9 +292,7 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
             pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
             pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
             pl.BlockSpec((1, 1, KVH, D), lambda b, t, L, P: (L[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, KVH), lambda b, t, L, P: (L[0], b, 0)),
             pl.BlockSpec((1, 1, KVH, D), lambda b, t, L, P: (L[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, KVH), lambda b, t, L, P: (L[0], b, 0)),
         ],
         out_specs=pl.BlockSpec((1, KVH, G, D),
                                lambda b, t, L, P: (b, 0, 0, 0)),
@@ -313,8 +314,8 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
       jnp.asarray(pos, jnp.int32),
       q.astype(jnp.float32), k, ks.astype(jnp.float32), v,
-      vs.astype(jnp.float32), k_new, ks_new.astype(jnp.float32), v_new,
-      vs_new.astype(jnp.float32))
+      vs.astype(jnp.float32), k_new.astype(jnp.float32),
+      v_new.astype(jnp.float32))
     return out
 
 

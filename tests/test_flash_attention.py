@@ -132,15 +132,18 @@ class TestFlashDecodeStaged:
         # staged: extract the at-pos entries into staging arrays; the cache
         # content at pos is then irrelevant (mask tok < pos)
         rows = jnp.arange(B)
-        k_new = jnp.stack([k[l, rows, :, pos] for l in range(L)])
-        v_new = jnp.stack([v[l, rows, :, pos] for l in range(L)])
-        ks_new = jnp.stack([ksc[l, rows, :, pos] for l in range(L)])
-        vs_new = jnp.stack([vsc[l, rows, :, pos] for l in range(L)])
+        # staged inputs are dequantized f32 (code * scale)
+        k_new = jnp.stack(
+            [k[l, rows, :, pos].astype(jnp.float32)
+             * ksc[l, rows, :, pos][..., None] for l in range(L)])
+        v_new = jnp.stack(
+            [v[l, rows, :, pos].astype(jnp.float32)
+             * vsc[l, rows, :, pos][..., None] for l in range(L)])
         # poison the cache at pos to prove it is not read
         k_p = k.at[:, rows, :, pos].set(127)
         v_p = v.at[:, rows, :, pos].set(127)
         out = AT.flash_decode_q8_staged(
-            q, k_p, v_p, ksc, vsc, k_new, ks_new, v_new, vs_new, layer,
+            q, k_p, v_p, ksc, vsc, k_new, v_new, layer,
             pos, block_t=32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
@@ -153,12 +156,10 @@ class TestFlashDecodeStaged:
         k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(4), L, B, KVH,
                                        T, D)
         pos = jnp.asarray([0], jnp.int32)
-        kn = jnp.ones((L, B, KVH, D), jnp.int8)
-        vn = 3 * jnp.ones((L, B, KVH, D), jnp.int8)
-        ksn = jnp.full((L, B, KVH), 0.01, jnp.float32)
-        vsn = jnp.full((L, B, KVH), 0.01, jnp.float32)
+        kn = jnp.full((L, B, KVH, D), 0.01, jnp.float32)
+        vn = jnp.full((L, B, KVH, D), 0.03, jnp.float32)
         out = AT.flash_decode_q8_staged(
-            q, k, v, ksc, vsc, kn, ksn, vn, vsn, jnp.asarray(0), pos,
+            q, k, v, ksc, vsc, kn, vn, jnp.asarray(0), pos,
             block_t=32, interpret=True)
         np.testing.assert_allclose(np.asarray(out),
                                    np.full((B, KVH, G, D), 0.03),
