@@ -75,19 +75,31 @@ def repack_row_parallel_stacked(packed: Array, num_bits: int,
         raise ValueError(f"shard width {ks} not divisible by pack factor {f}")
     if f == 1:
         return packed          # bytes are codes; slicing bytes slices K
+    if shards == 1:
+        return packed          # one shard: local plane-major == global
     mask = (1 << num_bits) - 1
-    pk = packed.astype(jnp.int32)
-    planes = [(pk >> (num_bits * (f - 1 - p))) & mask for p in range(f)]
-    u = jnp.concatenate(planes, axis=-1)            # (..., K) code order
-    outs = []
-    for s in range(shards):
-        us = u[..., s * ks:(s + 1) * ks]
-        g = us.reshape(*us.shape[:-1], f, ks // f)  # local plane-major
-        b = jnp.zeros(g.shape[:-2] + (ks // f,), jnp.int32)
-        for p in range(f):
-            b = b | (g[..., p, :] << (num_bits * (f - 1 - p)))
-        outs.append(b.astype(jnp.uint8))
-    return jnp.concatenate(outs, axis=-1)
+
+    def repack2d(pk2):
+        """(N, K/f) -> repacked (N, K/f); bounded VMEM/HBM transient."""
+        pk = pk2.astype(jnp.int32)
+        planes = [(pk >> (num_bits * (f - 1 - p))) & mask for p in range(f)]
+        u = jnp.concatenate(planes, axis=-1)        # (N, K) code order
+        outs = []
+        for s in range(shards):
+            us = u[..., s * ks:(s + 1) * ks]
+            g = us.reshape(*us.shape[:-1], f, ks // f)   # local plane-major
+            b = jnp.zeros(g.shape[:-2] + (ks // f,), jnp.int32)
+            for p in range(f):
+                b = b | (g[..., p, :] << (num_bits * (f - 1 - p)))
+            outs.append(b.astype(jnp.uint8))
+        return jnp.concatenate(outs, axis=-1)
+
+    if packed.ndim == 2:
+        return repack2d(packed)
+    # stacked (L, N, K/f): map over layers so the int32 unpacked planes
+    # (16x the packed bytes) never materialize for the whole stack at once
+    # — a 7B down_proj stack would transiently need ~5.8 GB otherwise
+    return jax.lax.map(repack2d, packed)
 
 
 def _path_names(path) -> list:

@@ -161,7 +161,18 @@ def main():
               f"({B / ms1 * 1000:.0f} tok/s) [compile {cs1:.0f}s]",
               file=sys.stderr, flush=True)
 
-        tp_big = TP.shard_stacked_model_tp(params, mesh1)
+        # free the single-chip copy before placing the TP copy: two 7B
+        # models + device_put transients exhaust the 16 GB chip (timing
+        # does not need identical weight values, only identical shapes)
+        del params
+        import gc
+        gc.collect()
+        params2 = build_compressed_llama_params(config, args.bits,
+                                                args.rank, mode="w4a8")
+        tp_big = TP.shard_stacked_model_tp(params2, mesh1)
+        del params2
+        gc.collect()
+        jax.block_until_ready(tp_big.embed)
         ms2, cs2 = bench(
             tp_big,
             lambda p, t, ps, c: TP.decode_step_w4a8_tp(

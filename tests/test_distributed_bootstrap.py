@@ -64,6 +64,11 @@ def f(x, w):
 out = float(f(x, w))
 expected = float(sum(range(8)) * 16)
 assert out == expected, (out, expected)
+# success marker goes to a FILE: Gloo's C-level log writes share the
+# stdout pipe and can interleave mid-print, splitting the marker string
+with open(os.path.join(os.path.dirname(sys.argv[0]),
+                       f"dist_ok_{pid}"), "w") as fh:
+    fh.write(f"DIST_OK {pid}")
 print("DIST_OK", pid, flush=True)
 """
 
@@ -96,4 +101,6 @@ def test_two_process_cpu_bringup(tmp_path):
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"DIST_OK {pid}" in out, out
+        marker = tmp_path / f"dist_ok_{pid}"
+        assert marker.exists() and marker.read_text() == f"DIST_OK {pid}", \
+            out
