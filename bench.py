@@ -329,6 +329,11 @@ def main():
                         help="low-rank factor path on the fused decode "
                              "step: XLA slab dots, L-half fused in-kernel "
                              "(default), or fully in-kernel")
+    parser.add_argument("--mlp-kernel",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="whole-MLP megakernel: gate/up + silu-mul + "
+                             "requant + down in ONE Pallas launch per layer "
+                             "(needs --int8-factors and factor-kernel l/lr)")
     parser.add_argument("--staged-kv",
                         action=argparse.BooleanOptionalAction, default=False,
                         help="stage each layer's new K/V and commit to the "
@@ -430,7 +435,8 @@ def main():
                 logits, cache = fusedm.decode_step_fused(
                     params, tok, pos, cache, config,
                     interpret=not use_pallas,
-                    staged_kv=args.staged_kv and args.flash_attn)
+                    staged_kv=args.staged_kv and args.flash_attn,
+                    mlp_kernel=args.mlp_kernel)
             elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
@@ -480,7 +486,8 @@ def main():
         ("-flash" if args.flash_attn else
          ("-kv8" if args.kv_int8 else "")) + \
         ("-f8" if args.int8_factors else "") + \
-        ("-staged" if (args.staged_kv and args.flash_attn) else "")
+        ("-staged" if (args.staged_kv and args.flash_attn) else "") + \
+        ("-mlp" if args.mlp_kernel else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
                   f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "

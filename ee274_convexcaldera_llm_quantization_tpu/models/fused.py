@@ -329,12 +329,54 @@ def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool,
     return out
 
 
+def _mlp_kernel_supported(params: FusedStackedParams) -> bool:
+    """Whether the whole-MLP megakernel can serve this model: fused gateup
+    with N-concatenated int8 L factors (factor_kernel 'l'/'lr'), int8
+    down_proj factors, uniform lane-aligned rank, no MLP biases."""
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    gu = params.layers.gateup
+    dn = params.layers.down_proj
+    return (gu.L_cat is not None and gu.b is None
+            and isinstance(dn, CalderaLinear) and dn.b is None
+            and dn.L_scale is not None and dn.R_scale is not None
+            and gu.num_bits == dn.num_bits
+            and len(set(gu.ranks)) == 1
+            and dn.L.shape[2] == gu.ranks[0]
+            and Kr.mlp_stacked_supported(
+                gu.splits[0], dn.packed.shape[1], gu.ranks[0], gu.num_bits))
+
+
+def _apply_mlp_mega(lp: FusedLayerStack, l: Array, y: Array,
+                    interpret: bool) -> Array:
+    """silu(gate(y)) * up(y) -> down, one megakernel launch (+ the thin
+    gate/up R contraction as an XLA dot). Returns the down output with its
+    global scale applied — the residual-add contribution."""
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    gu, dn = lp.gateup, lp.down_proj
+    R_l = jax.lax.dynamic_index_in_dim(gu.R, l, 0, keepdims=False)
+    xr = jnp.dot(y.astype(jnp.bfloat16), R_l.T.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    xr = xr * jax.lax.dynamic_index_in_dim(
+        gu.R_scale, l, 0, keepdims=False)[:, 0][None, :]
+    out = Kr.quantized_matmul_w4a8_mlp_stacked(
+        y, gu.packed, gu.scales, l, xr, gu.L_cat, gu.L_scale_cat,
+        gu.global_scale, dn.packed, dn.scales, dn.R, dn.R_scale, dn.L,
+        dn.L_scale, num_bits=gu.num_bits, rank=gu.ranks[0],
+        interpret=interpret)
+    return out * jax.lax.dynamic_index_in_dim(dn.global_scale, l, 0,
+                                              keepdims=False)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret", "staged_kv"),
+                   static_argnames=("config", "interpret", "staged_kv",
+                                    "mlp_kernel"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
-                      interpret: bool = False, staged_kv: bool = False):
+                      interpret: bool = False, staged_kv: bool = False,
+                      mlp_kernel: bool = False):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
@@ -354,6 +396,11 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
     B = tokens.shape[0]
     T = cache.k.shape[3] if head_major else cache.k.shape[2]
     lp = params.layers
+    if mlp_kernel and not _mlp_kernel_supported(params):
+        raise ValueError("mlp_kernel=True requires int8-factor fused params "
+                         "with factor_kernel 'l'/'lr' and lane-aligned rank "
+                         "(quantize_factors_int8_fused(..., "
+                         "fuse_factor_kernel='l'))")
     x = params.embed[tokens].astype(jnp.float32)
     cos, sin = llama.rope_tables(config, pos[:, None])
     if head_major:
@@ -460,9 +507,12 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                              lp.qkv.factor_kernel)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
-        gate, up = _apply_fused(lp.gateup, l, y, interpret)
-        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret, lp.qkv.factor_kernel)
+        if mlp_kernel:
+            x = x + _apply_mlp_mega(lp, l, y, interpret)
+        else:
+            gate, up = _apply_fused(lp.gateup, l, y, interpret)
+            x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                                 interpret, lp.qkv.factor_kernel)
         if staged_kv:
             return x, cache, stg
         return x, cache

@@ -903,6 +903,275 @@ def quantized_matmul_w4a8_l_stacked(
     return out[:M]
 
 
+def _qmm_w4a8_mlp_stacked_kernel(
+        l_ref, xq_ref, sx_ref, xr_ref, guw_ref, gus_ref, guL_ref, guLs_ref,
+        gugs_ref, dnw_ref, dns_ref, dnR_ref, dnRs_ref, dnL_ref, dnLs_ref,
+        o_ref, gm_ref, amax_ref, m8_ref, sm_ref, rs_ref, xrd_ref, *,
+        num_bits: int, gu_chunk: int, dn_chunk: int, rank: int, Gg: int,
+        G1: int, bn1: int):
+    """Whole-MLP megakernel: gate/up packed matmuls -> SiLU-mul -> dynamic
+    int8 requantization -> down packed matmul, one launch per layer.
+
+    1D 'arbitrary' grid of ``G1 + G2`` programs. Programs ``j < Gg`` compute
+    gate output blocks into VMEM scratch (``gm_ref``); programs
+    ``Gg <= j < G1`` compute the matching up blocks, overwrite the scratch
+    with ``silu(gate) * up`` (global scales applied from SMEM), and
+    accumulate the running per-row absmax. Program ``G1`` requantizes the
+    intermediate to int8 (same per-row absmax rule as
+    :func:`quantize_activations_int8`), precomputes its rowsum bias term,
+    and contracts it with the down ``R`` factor slab; programs ``>= G1``
+    then run the standard W4A8 + L-factor output blocks of down_proj.
+
+    Removes, per layer: one Pallas launch, the gate/up HBM round trip, the
+    XLA silu/mul/quantize thunks, and the down R-slab copy — all glue
+    between two DMA-bound matmuls that XLA cannot fuse across a
+    ``pallas_call`` boundary. Factor numerics match :func:`low_rank_matmul`
+    (bf16 dots, f32 rank-1 rescales); the down activation quantization
+    matches :func:`quantize_activations_int8` exactly.
+    """
+    del l_ref
+    j = pl.program_id(0)
+    f = _pack_factor(num_bits)
+    maxq = 2 ** (num_bits - 1) - 1
+    TM = xq_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        amax_ref[:] = jnp.zeros_like(amax_ref)
+
+    @pl.when(j < G1)
+    def _gateup():
+        plane_len = guw_ref.shape[2]
+        xq = xq_ref[:]
+        acc = jnp.zeros((TM, bn1), jnp.int32)
+        for c in range(plane_len // gu_chunk):
+            chunk = guw_ref[0, :, c * gu_chunk:(c + 1) * gu_chunk]
+            chunk = chunk.astype(jnp.int32)
+            for p in range(f):
+                if f == 1:
+                    u = (chunk - maxq).astype(jnp.int8)
+                else:
+                    u = _unpack_plane_unsigned(chunk, p, num_bits, f)
+                koff = p * plane_len + c * gu_chunk
+                acc += jax.lax.dot_general(
+                    xq[:, koff:koff + gu_chunk], u,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        if f > 1:
+            acc = acc - maxq * _rowsum_i32(xq)
+        is_gate = j < Gg
+        sel = jnp.where(is_gate, 0, 1)
+        xr_j = xr_ref[:, pl.ds(pl.multiple_of(sel * rank, rank), rank)]
+        Lb = guL_ref[0].astype(jnp.float32).astype(jnp.bfloat16)
+        ylr = jax.lax.dot_general(
+            xr_j.astype(jnp.bfloat16), Lb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = (acc.astype(jnp.float32)
+               * gus_ref[0, :, 0][None, :] * sx_ref[:, 0][:, None]
+               + ylr * guLs_ref[0, :, 0][None, :])
+        out = out * jnp.where(is_gate, gugs_ref[0, 0], gugs_ref[0, 1])
+        col = pl.multiple_of(jnp.where(is_gate, j, j - Gg) * bn1, bn1)
+
+        @pl.when(is_gate)
+        def _store_gate():
+            gm_ref[:, pl.ds(col, bn1)] = out
+
+        @pl.when(~is_gate)
+        def _store_m():
+            g = gm_ref[:, pl.ds(col, bn1)]
+            m = (g * jax.lax.logistic(g)) * out          # silu(gate) * up
+            gm_ref[:, pl.ds(col, bn1)] = m
+            amax_ref[:] = jnp.maximum(
+                amax_ref[:], jnp.max(jnp.abs(m), axis=1, keepdims=True))
+
+    @pl.when(j == G1)
+    def _requant():
+        im = gm_ref.shape[1]
+        sm = jnp.maximum(amax_ref[:, :1], 1e-12) / 127.0      # (TM, 1)
+        sm_ref[:] = jnp.broadcast_to(sm, sm_ref.shape)
+        m8 = jnp.clip(jnp.round(gm_ref[:] / sm), -127, 127).astype(jnp.int8)
+        m8_ref[:] = m8
+        rs = jnp.sum(m8.astype(jnp.int32), axis=1, keepdims=True)
+        rs_ref[:] = jnp.broadcast_to(rs, rs_ref.shape)
+        kc = im
+        while kc > 2048:
+            kc //= 2
+        xrd = jnp.zeros((TM, rank), jnp.float32)
+        for c in range(im // kc):
+            Rc = (dnR_ref[0, :, c * kc:(c + 1) * kc]
+                  .astype(jnp.float32).astype(jnp.bfloat16))   # (rank, kc)
+            mb = gm_ref[:, c * kc:(c + 1) * kc].astype(jnp.bfloat16)
+            xrd += jax.lax.dot_general(
+                mb, Rc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        xrd_ref[:] = xrd * dnRs_ref[0, :, 0][None, :]
+
+    @pl.when(j >= G1)
+    def _down():
+        plane_len = dnw_ref.shape[2]
+        TN = dnw_ref.shape[1]
+        m8 = m8_ref[:]
+        acc = jnp.zeros((TM, TN), jnp.int32)
+        for c in range(plane_len // dn_chunk):
+            chunk = dnw_ref[0, :, c * dn_chunk:(c + 1) * dn_chunk]
+            chunk = chunk.astype(jnp.int32)
+            for p in range(f):
+                if f == 1:
+                    u = (chunk - maxq).astype(jnp.int8)
+                else:
+                    u = _unpack_plane_unsigned(chunk, p, num_bits, f)
+                koff = p * plane_len + c * dn_chunk
+                acc += jax.lax.dot_general(
+                    m8[:, koff:koff + dn_chunk], u,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        if f > 1:
+            acc = acc - maxq * rs_ref[:, :1]
+        Lb = dnL_ref[0].astype(jnp.float32).astype(jnp.bfloat16)
+        ylr = jax.lax.dot_general(
+            xrd_ref[:].astype(jnp.bfloat16), Lb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = (acc.astype(jnp.float32)
+                    * dns_ref[0, :, 0][None, :] * sm_ref[:, :1]
+                    + ylr * dnLs_ref[0, :, 0][None, :])
+
+
+def mlp_stacked_supported(im: int, h: int, rank: int, num_bits: int) -> bool:
+    """Whether the MLP megakernel supports this fusion: lane-aligned rank
+    windows for the gate/up xr split and 128-divisible block sizes."""
+    if rank % 128:
+        return False
+    bn1 = min(256, im)
+    bn2 = min(256, h)
+    return (im % bn1 == 0 and h % bn2 == 0 and bn1 >= 128 and bn2 >= 128
+            and (8 // container_bits(num_bits)) >= 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bits", "rank", "block_m", "block_n", "interpret"))
+def quantized_matmul_w4a8_mlp_stacked(
+    x: jax.Array,            # (M, h) f32 — normed layer input
+    gu_packed: jax.Array,    # (layers, 2*im, h*bits/8) uint8 (gate ++ up)
+    gu_scales: jax.Array,    # (layers, 2*im, 1) f32
+    layer: jax.Array,        # () or (1,) int32
+    xr_gu: jax.Array,        # (M, 2*rank) f32 — (x @ R_gu[l].T) * Rs_gu[l]
+    gu_L_cat: jax.Array,     # (layers, 2*im, rank) int8, N-concatenated
+    gu_L_scale: jax.Array,   # (layers, 2*im, 1) f32
+    gu_gs: jax.Array,        # (layers, 2) f32 — gate / up global scales
+    dn_packed: jax.Array,    # (layers, h, im*bits/8) uint8
+    dn_scales: jax.Array,    # (layers, h, 1) f32
+    dn_R: jax.Array,         # (layers, rank, im) int8
+    dn_R_scale: jax.Array,   # (layers, rank, 1) f32
+    dn_L: jax.Array,         # (layers, h, rank) int8
+    dn_L_scale: jax.Array,   # (layers, h, 1) f32
+    num_bits: int,
+    rank: int,
+    block_m: int = 128,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole-MLP W4A8 decode: ``down(silu(gate(x)) * up(x))`` in ONE Pallas
+    launch against layer ``layer`` of the stacked weights (factor halves
+    fused; the thin gate/up R contraction rides in as ``xr_gu``). Returns
+    the down_proj output BEFORE its global scale (caller applies it, as in
+    the unfused path). See :func:`_qmm_w4a8_mlp_stacked_kernel`.
+    """
+    f = _pack_factor(num_bits)
+    M, K = x.shape
+    N_gu = gu_packed.shape[1]
+    im = N_gu // 2
+    h = dn_packed.shape[1]
+    assert gu_packed.shape[2] * f == K and dn_packed.shape[2] * f == im
+    assert gu_packed.dtype == jnp.uint8 and dn_packed.dtype == jnp.uint8
+    assert xr_gu.shape == (M, 2 * rank), (xr_gu.shape, rank)
+    assert dn_R.shape[1:] == (rank, im)
+    bn1 = min(block_n, im)
+    while im % bn1:
+        bn1 //= 2
+    bn2 = min(block_n, h)
+    while h % bn2:
+        bn2 //= 2
+    gu_plane = K // f
+    dn_plane = im // f
+    gu_chunk = _pick_chunk(gu_plane, 1, bn1)
+    dn_chunk = _pick_chunk(dn_plane, 1, bn2)
+    Gg = im // bn1
+    G1 = 2 * Gg
+    G2 = h // bn2
+
+    xq, sx = quantize_activations_int8(x)
+    TM = min(block_m, _round_up(M, 32))
+    Mp = _round_up(M, TM)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)), constant_values=1.0)
+        xr_gu = jnp.pad(xr_gu, ((0, Mp - M), (0, 0)))
+    if Mp != TM:
+        raise ValueError("mlp megakernel supports one row block "
+                         f"(M={M} > block_m={block_m})")
+
+    def gu_idx(j, Lx):
+        return (Lx[0], jnp.minimum(j, G1 - 1), 0)
+
+    def gu_idx2(j, Lx):
+        return (Lx[0], jnp.minimum(j, G1 - 1), 0)
+
+    def dn_idx(j, Lx):
+        return (Lx[0], jnp.maximum(j - G1, 0), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G1 + G2,),
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda j, Lx: (0, 0)),
+            pl.BlockSpec((TM, 1), lambda j, Lx: (0, 0)),
+            pl.BlockSpec((TM, 2 * rank), lambda j, Lx: (0, 0)),
+            pl.BlockSpec((1, bn1, gu_plane), gu_idx),
+            pl.BlockSpec((1, bn1, 1), gu_idx2),
+            pl.BlockSpec((1, bn1, rank), gu_idx),
+            pl.BlockSpec((1, bn1, 1), gu_idx2),
+            pl.BlockSpec((1, 2), lambda j, Lx: (Lx[0], 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bn2, dn_plane), dn_idx),
+            pl.BlockSpec((1, bn2, 1), dn_idx),
+            pl.BlockSpec((1, rank, im), lambda j, Lx: (Lx[0], 0, 0)),
+            pl.BlockSpec((1, rank, 1), lambda j, Lx: (Lx[0], 0, 0)),
+            pl.BlockSpec((1, bn2, rank), dn_idx),
+            pl.BlockSpec((1, bn2, 1), dn_idx),
+        ],
+        out_specs=pl.BlockSpec((TM, bn2),
+                               lambda j, Lx: (0, jnp.maximum(j - G1, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((TM, im), jnp.float32),     # gate outputs, then m
+            pltpu.VMEM((TM, 128), jnp.float32),    # running absmax of m
+            pltpu.VMEM((TM, im), jnp.int8),        # m quantized
+            pltpu.VMEM((TM, 128), jnp.float32),    # m row scales
+            pltpu.VMEM((TM, 128), jnp.int32),      # m rowsum (bias term)
+            pltpu.VMEM((TM, rank), jnp.float32),   # xr for down
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_w4a8_mlp_stacked_kernel, num_bits=num_bits,
+            gu_chunk=gu_chunk, dn_chunk=dn_chunk, rank=rank, Gg=Gg, G1=G1,
+            bn1=bn1),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, h), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, sx,
+      xr_gu.astype(jnp.float32), gu_packed, gu_scales.astype(jnp.float32),
+      gu_L_cat, gu_L_scale.astype(jnp.float32), gu_gs.astype(jnp.float32),
+      dn_packed, dn_scales.astype(jnp.float32), dn_R,
+      dn_R_scale.astype(jnp.float32), dn_L, dn_L_scale.astype(jnp.float32))
+    return out[:M]
+
+
 def _bf16_stacked_kernel(l_ref, x_ref, w_ref, o_ref):
     del l_ref
     o_ref[:] = jax.lax.dot_general(
