@@ -334,6 +334,10 @@ def main():
                         help="whole-MLP megakernel: gate/up + silu-mul + "
                              "requant + down in ONE Pallas launch per layer "
                              "(needs --int8-factors and factor-kernel l/lr)")
+    parser.add_argument("--attn-o-kernel",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="fused flash-attention + o_proj megakernel "
+                             "(MHA models, --flash-attn path only)")
     parser.add_argument("--staged-kv",
                         action=argparse.BooleanOptionalAction, default=False,
                         help="stage each layer's new K/V and commit to the "
@@ -436,7 +440,8 @@ def main():
                     params, tok, pos, cache, config,
                     interpret=not use_pallas,
                     staged_kv=args.staged_kv and args.flash_attn,
-                    mlp_kernel=args.mlp_kernel)
+                    mlp_kernel=args.mlp_kernel,
+                    attn_o_kernel=args.attn_o_kernel and args.flash_attn)
             elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
@@ -487,7 +492,8 @@ def main():
          ("-kv8" if args.kv_int8 else "")) + \
         ("-f8" if args.int8_factors else "") + \
         ("-staged" if (args.staged_kv and args.flash_attn) else "") + \
-        ("-mlp" if args.mlp_kernel else "")
+        ("-mlp" if args.mlp_kernel else "") + \
+        ("-attno" if (args.attn_o_kernel and args.flash_attn) else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
                   f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "

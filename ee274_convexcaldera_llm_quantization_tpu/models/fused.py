@@ -369,14 +369,29 @@ def _apply_mlp_mega(lp: FusedLayerStack, l: Array, y: Array,
                                               keepdims=False)
 
 
+def _attn_o_kernel_supported(params: FusedStackedParams,
+                             config: ModelConfig) -> bool:
+    """Whether the fused attention+o megakernel can serve this model: MHA
+    (G == 1), int8-factor w4a8 o_proj with lane-aligned rank, no o bias."""
+    o = params.layers.o_proj
+    return (isinstance(o, CalderaLinear) and o.mode == "w4a8"
+            and o.b is None and o.L_scale is not None
+            and o.R_scale is not None
+            and AT.attn_o_supported(
+                config.num_kv_heads,
+                config.num_heads // config.num_kv_heads,
+                config.head_dim, o.packed.shape[1], o.L.shape[2]))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "staged_kv",
-                                    "mlp_kernel"),
+                                    "mlp_kernel", "attn_o_kernel"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
                       interpret: bool = False, staged_kv: bool = False,
-                      mlp_kernel: bool = False):
+                      mlp_kernel: bool = False,
+                      attn_o_kernel: bool = False):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
@@ -401,6 +416,12 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                          "with factor_kernel 'l'/'lr' and lane-aligned rank "
                          "(quantize_factors_int8_fused(..., "
                          "fuse_factor_kernel='l'))")
+    if attn_o_kernel and not (head_major
+                              and _attn_o_kernel_supported(params, config)):
+        raise ValueError("attn_o_kernel=True requires a head-major cache, "
+                         "an MHA config (num_heads == num_kv_heads), and "
+                         "an int8-factor w4a8 o_proj with lane-aligned "
+                         "rank")
     x = params.embed[tokens].astype(jnp.float32)
     cos, sin = llama.rope_tables(config, pos[:, None])
     if head_major:
@@ -410,6 +431,13 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         mask = jnp.where(valid, 0.0, -1e30)[:, None, None, None, :]
     rows = jnp.arange(B)
     kv_groups = config.num_heads // config.num_kv_heads
+    dummy_new = None
+    if attn_o_kernel and not staged_kv:
+        # inline mode never reads the staged refs; a zeros placeholder
+        # keeps the fused kernel signature uniform (4 KB DMA per call)
+        dummy_new = jnp.zeros(
+            (config.num_layers, B, config.num_kv_heads, config.head_dim),
+            jnp.float32)
     if staged_kv:
         if not head_major:
             raise ValueError("staged_kv requires a HeadMajorQuantKVCache")
@@ -452,10 +480,19 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             stg = (sk, sks, sv, svs, skf, svf)
             qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
                                  config.head_dim)
-            attn = AT.flash_decode_q8_staged(
-                qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                skf, svf, l, pos,
-                interpret=interpret).reshape(B, config.q_dim)
+            if attn_o_kernel:
+                o = lp.o_proj
+                oout = AT.flash_decode_attn_o(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    skf, svf, l, pos, o.packed, o.scales, o.R, o.R_scale,
+                    o.L, o.L_scale, num_bits=o.num_bits,
+                    rank=o.L.shape[2], staged=True, interpret=interpret)
+                attn = None
+            else:
+                attn = AT.flash_decode_q8_staged(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    skf, svf, l, pos,
+                    interpret=interpret).reshape(B, config.q_dim)
         elif head_major:
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
@@ -476,9 +513,18 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
             qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
                                  config.head_dim)
-            attn = AT.flash_decode_q8(
-                qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                l, pos, interpret=interpret).reshape(B, config.q_dim)
+            if attn_o_kernel:
+                o = lp.o_proj
+                oout = AT.flash_decode_attn_o(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    dummy_new, dummy_new, l, pos, o.packed, o.scales,
+                    o.R, o.R_scale, o.L, o.L_scale, num_bits=o.num_bits,
+                    rank=o.L.shape[2], staged=False, interpret=interpret)
+                attn = None
+            else:
+                attn = AT.flash_decode_q8(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    l, pos, interpret=interpret).reshape(B, config.q_dim)
         elif quant_kv:
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
@@ -503,8 +549,13 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             ck = jax.lax.dynamic_index_in_dim(cache.k, l, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cache.v, l, 0, keepdims=False)
             attn = llama._attention(q, ck, cv, mask).reshape(B, config.q_dim)
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
-                             lp.qkv.factor_kernel)
+        if attn is None:                 # fused attention+o already applied
+            gso = jax.lax.dynamic_index_in_dim(lp.o_proj.global_scale, l, 0,
+                                               keepdims=False)
+            x = x + oout * gso
+        else:
+            x = x + _apply_plain(lp.o_proj, l, attn, interpret,
+                                 lp.qkv.factor_kernel)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         if mlp_kernel:

@@ -464,3 +464,299 @@ def flash_decode_q8_xla(q: Array, k: Array, v: Array, ks: Array, vs: Array,
     probs = jax.nn.softmax(logits, axis=-1)
     pv = probs * vsl[:, :, None, :]
     return jnp.einsum("bhgt,bhtd->bhgd", pv, vl.astype(jnp.float32))
+
+
+def _flash_attn_o_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
+                         vs_ref, kn_ref, vn_ref, ow_ref, os_ref, oR_ref,
+                         oRs_ref, oL_ref, oLs_ref, o_ref,
+                         m_ref, s_ref, acc_ref, attn_ref, xq8_ref, sx_ref,
+                         rs_ref, xro_ref, *, block_t: int, scale: float,
+                         nt: int, B: int, rank: int, o_chunk: int,
+                         num_bits: int, staged: bool):
+    """Fused flash decode attention + o_proj megakernel (MHA, G == 1).
+
+    1D 'arbitrary' grid of ``B*nt + h/bn`` programs. Programs ``j < B*nt``
+    run the online-softmax attention of batch row ``b = j // nt`` over
+    token block ``t = j % nt`` (same math as
+    :func:`_flash_decode_q8_kernel` / its staged variant), landing each
+    row's finished attention vector in a flat ``(32, qdim)`` VMEM scratch.
+    Program ``B*nt`` requantizes that scratch to int8 (the dynamic
+    activation rule of ``kernels.quantize_activations_int8``) and
+    contracts it with o_proj's R factor slab; the remaining programs emit
+    standard W4A8 + L-factor o_proj output blocks. Removes one Pallas
+    launch, the attention-output HBM round trip, the XLA quantize thunks,
+    and the o R-slab copy per layer.
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.ops.kernels import (
+        _pack_factor, _unpack_plane_unsigned)
+
+    del l_ref
+    j = pl.program_id(0)
+    A = B * nt                      # number of attention programs
+    KVH = q_ref.shape[1]
+    D = q_ref.shape[3]
+
+    @pl.when(j == 0)
+    def _init_attn():
+        attn_ref[:] = jnp.zeros_like(attn_ref)
+
+    @pl.when(j < A)
+    def _attend():
+        b = j // nt
+        t = j % nt
+
+        @pl.when(t == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            s_ref[:] = jnp.zeros_like(s_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if staged:
+            last = jnp.maximum(pos_ref[b] - 1, 0) // block_t
+            live = (t <= last) & (pos_ref[b] > 0)
+        else:
+            last = pos_ref[b] // block_t
+            live = t <= last
+
+        @pl.when(live)
+        def _compute():
+            q = q_ref[b]                              # (KVH, 1, D) f32
+            k = k_ref[0, 0].astype(jnp.float32)       # (KVH, block_t, D)
+            ks = ks_ref[0, 0]                         # (KVH, block_t)
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # (KVH, 1, block_t)
+            logits = logits * (ks * scale)[:, None, :]
+            tok = t * block_t + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 2)
+            if staged:
+                valid = tok < pos_ref[b]
+            else:
+                valid = tok <= pos_ref[b]
+            logits = jnp.where(valid, logits, _NEG_INF)
+            m_prev = m_ref[:, :, :1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(logits, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+            s_new = (s_ref[:, :, :1] * alpha
+                     + jnp.sum(p, axis=2, keepdims=True))
+            v = v_ref[0, 0].astype(jnp.float32)
+            vs = vs_ref[0, 0]
+            pv = p * vs[:, None, :]
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+        @pl.when(t == nt - 1)
+        def _fin():
+            if staged:
+                q = q_ref[b]
+                kn = kn_ref[0, 0]                     # (KVH, D) f32
+                logit = jnp.sum(q * kn[:, None, :], axis=2,
+                                keepdims=True) * scale
+                m_prev = m_ref[:, :, :1]
+                m_new = jnp.maximum(m_prev, logit)
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(logit - m_new)
+                s = s_ref[:, :, :1] * alpha + p
+                vn = vn_ref[0, 0]
+                out = (acc_ref[:] * alpha + p * vn[:, None, :]) / s
+            else:
+                out = acc_ref[:] / s_ref[:, :, :1]    # (KVH, 1, D)
+            for kvh in range(KVH):
+                attn_ref[pl.ds(b, 1),
+                         pl.ds(pl.multiple_of(kvh * D, D), D)] = out[kvh]
+
+    @pl.when(j == A)
+    def _requant():
+        qdim = attn_ref.shape[1]
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(attn_ref[:]), axis=1, keepdims=True), 1e-12)
+        sx = amax / 127.0                             # (32, 1)
+        sx_ref[:] = jnp.broadcast_to(sx, sx_ref.shape)
+        x8 = jnp.clip(jnp.round(attn_ref[:] / sx), -127, 127)
+        xq8_ref[:] = x8.astype(jnp.int8)
+        rs = jnp.sum(x8.astype(jnp.int32), axis=1, keepdims=True)
+        rs_ref[:] = jnp.broadcast_to(rs, rs_ref.shape)
+        kc = qdim
+        while kc > 2048:
+            kc //= 2
+        xro = jnp.zeros((attn_ref.shape[0], rank), jnp.float32)
+        for c in range(qdim // kc):
+            Rc = (oR_ref[0, :, c * kc:(c + 1) * kc]
+                  .astype(jnp.float32).astype(jnp.bfloat16))  # (rank, kc)
+            ab = attn_ref[:, c * kc:(c + 1) * kc].astype(jnp.bfloat16)
+            xro += jax.lax.dot_general(
+                ab, Rc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        xro_ref[:] = xro * oRs_ref[0, :, 0][None, :]
+
+    @pl.when(j >= A)
+    def _oproj():
+        f = _pack_factor(num_bits)
+        maxq = 2 ** (num_bits - 1) - 1
+        plane_len = ow_ref.shape[2]
+        TN = ow_ref.shape[1]
+        TM = xq8_ref.shape[0]
+        xq = xq8_ref[:]
+        acc = jnp.zeros((TM, TN), jnp.int32)
+        for c in range(plane_len // o_chunk):
+            chunk = ow_ref[0, :, c * o_chunk:(c + 1) * o_chunk]
+            chunk = chunk.astype(jnp.int32)
+            for p in range(f):
+                if f == 1:
+                    u = (chunk - maxq).astype(jnp.int8)
+                else:
+                    u = _unpack_plane_unsigned(chunk, p, num_bits, f)
+                koff = p * plane_len + c * o_chunk
+                acc += jax.lax.dot_general(
+                    xq[:, koff:koff + o_chunk], u,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        if f > 1:
+            acc = acc - maxq * rs_ref[:, :1]
+        Lb = oL_ref[0].astype(jnp.float32).astype(jnp.bfloat16)
+        ylr = jax.lax.dot_general(
+            xro_ref[:].astype(jnp.bfloat16), Lb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = (acc.astype(jnp.float32)
+                    * os_ref[0, :, 0][None, :] * sx_ref[:, :1]
+                    + ylr * oLs_ref[0, :, 0][None, :])
+
+
+def attn_o_supported(KVH: int, G: int, D: int, h: int, rank: int) -> bool:
+    """Fused attention+o support: MHA only (G == 1 — the flat attention
+    scratch layout needs head rows to be single (1, D) stores), lane-width
+    head dim, lane-aligned rank, 128-divisible o output blocks."""
+    bn = min(256, h)
+    return (G == 1 and D % 128 == 0 and rank % 128 == 0
+            and h % bn == 0 and bn >= 128)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bits", "rank", "staged",
+                                             "block_t", "block_n",
+                                             "interpret"))
+def flash_decode_attn_o(q: Array, k: Array, v: Array, ks: Array, vs: Array,
+                        k_new: Array, v_new: Array, layer: Array,
+                        pos: Array, o_packed: Array, o_scales: Array,
+                        o_R: Array, o_R_scale: Array, o_L: Array,
+                        o_L_scale: Array, num_bits: int, rank: int,
+                        staged: bool = False, block_t: int = 256,
+                        block_n: int = 256,
+                        interpret: bool = False) -> Array:
+    """Fused flash attention + W4A8 o_proj against layer ``layer``.
+
+    Args are :func:`flash_decode_q8_staged`'s (``k_new``/``v_new`` ignored
+    when ``staged=False`` — pass any (L, B, KVH, D) f32 array) plus
+    o_proj's stacked packed codes, per-row scales, and int8 L/R factors.
+    Returns the o_proj output (B, h) BEFORE its global scale. MHA only
+    (see :func:`attn_o_supported`).
+    """
+    B, KVH, G, D = q.shape
+    if G != 1:
+        raise ValueError("flash_decode_attn_o requires MHA (G == 1), got "
+                         f"G={G}; use the unfused path for GQA models")
+    T = k.shape[3]
+    h = o_packed.shape[1]
+    qdim = KVH * D
+    from ee274_convexcaldera_llm_quantization_tpu.ops.kernels import (
+        _pack_factor, _pick_chunk)
+    f = _pack_factor(num_bits)
+    assert o_packed.shape[2] * f == qdim
+    assert o_packed.dtype == jnp.uint8
+    assert o_R.shape[1:] == (rank, qdim), o_R.shape
+    block_t = min(block_t, T)
+    while T % block_t:
+        block_t //= 2
+    nt = T // block_t
+    bn = min(block_n, h)
+    while h % bn:
+        bn //= 2
+    scale = 1.0 / (D ** 0.5)
+    plane_len = qdim // f
+    o_chunk = _pick_chunk(plane_len, 1, bn)
+    TM = 32                                     # int8 sublane tile
+    if B > TM:
+        raise ValueError(f"batch {B} > {TM} unsupported by the fused "
+                         "attention+o kernel")
+    A = B * nt
+
+    def _kv_idx(jj, L, P):
+        # clamp to the last live block: past it the index stops changing,
+        # Mosaic elides the re-fetch, and the kernel skips the compute
+        b = jnp.minimum(jj // nt, B - 1)
+        t = jj % nt
+        lastf = jnp.maximum(P[b] - 1, 0) // block_t if staged \
+            else P[b] // block_t
+        return (L[0], b, 0, jnp.minimum(t, lastf), 0)
+
+    def _sc_idx(jj, L, P):
+        b = jnp.minimum(jj // nt, B - 1)
+        t = jj % nt
+        lastf = jnp.maximum(P[b] - 1, 0) // block_t if staged \
+            else P[b] // block_t
+        return (L[0], b, 0, jnp.minimum(t, lastf))
+
+    def _new_idx(jj, L, P):
+        return (L[0], jnp.minimum(jj // nt, B - 1), 0, 0)
+
+    def _news_idx(jj, L, P):
+        return (L[0], jnp.minimum(jj // nt, B - 1), 0, 0)
+
+    def _ow_idx(jj, L, P):
+        return (L[0], jnp.maximum(jj - A, 0), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(A + h // bn,),
+        in_specs=[
+            pl.BlockSpec((B, KVH, G, D), lambda jj, L, P: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, 1, KVH, D), _new_idx),
+            pl.BlockSpec((1, 1, KVH, D), _new_idx),
+            pl.BlockSpec((1, bn, plane_len), _ow_idx),
+            pl.BlockSpec((1, bn, 1), _ow_idx),
+            pl.BlockSpec((1, rank, qdim), lambda jj, L, P: (L[0], 0, 0)),
+            pl.BlockSpec((1, rank, 1), lambda jj, L, P: (L[0], 0, 0)),
+            pl.BlockSpec((1, bn, rank), _ow_idx),
+            pl.BlockSpec((1, bn, 1), _ow_idx),
+        ],
+        out_specs=pl.BlockSpec((TM, bn),
+                               lambda jj, L, P: (0, jnp.maximum(jj - A, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, G, 128), jnp.float32),   # running max
+            pltpu.VMEM((KVH, G, 128), jnp.float32),   # running sum
+            pltpu.VMEM((KVH, G, D), jnp.float32),     # attention acc
+            pltpu.VMEM((TM, qdim), jnp.float32),      # flat attention out
+            pltpu.VMEM((TM, qdim), jnp.int8),         # quantized
+            pltpu.VMEM((TM, 128), jnp.float32),       # row scales
+            pltpu.VMEM((TM, 128), jnp.int32),         # rowsum bias
+            pltpu.VMEM((TM, rank), jnp.float32),      # xr for o
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_attn_o_kernel, block_t=block_t,
+                          scale=scale, nt=nt, B=B, rank=rank,
+                          o_chunk=o_chunk, num_bits=num_bits,
+                          staged=staged),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((TM, h), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(pos, jnp.int32),
+      q.astype(jnp.float32), k, ks.astype(jnp.float32), v,
+      vs.astype(jnp.float32), k_new.astype(jnp.float32),
+      v_new.astype(jnp.float32), o_packed,
+      o_scales.astype(jnp.float32), o_R, o_R_scale.astype(jnp.float32),
+      o_L, o_L_scale.astype(jnp.float32))
+    return out[:B]

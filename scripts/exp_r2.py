@@ -14,6 +14,10 @@ Phases (select with --phases, comma-separated):
   mlp      - decode_step_fused A/B: mlp_kernel False vs True (whole-MLP
              megakernel: gate/up + silu-mul + requant + down, one launch)
              incl. an on-chip single-step logits cross-check
+  attno    - decode_step_fused A/B: attn_o_kernel False vs True (fused
+             flash attention + o_proj megakernel), on-chip cross-check
+  combo    - decode_step_fused with ALL wins on (staged + mlp + attno):
+             the candidate headline config
 """
 
 import argparse
@@ -188,82 +192,72 @@ def main():
         print(f"# no-kvwrite: {ms:.2f} ms/step  [compile {cs:.0f}s]",
               file=sys.stderr, flush=True)
 
-    if "staged" in phases:
+    def fused_ab(tag, **kw):
+        """Slope-timed decode with decode_step_fused(**kw) variants."""
         params = fusedm.quantize_factors_int8_fused(base,
                                                     fuse_factor_kernel="l")
-        for staged in (False, True):
-            cache = llama.HeadMajorQuantKVCache.create(config, B,
-                                                       args.context)
+        cache = llama.HeadMajorQuantKVCache.create(config, B, args.context)
 
-            @jax.jit
-            def multi(params, n, cache, staged=staged):
-                def body(i, carry):
-                    cache, tok, acc = carry
-                    pos = jnp.full((B,), pos0 + i, jnp.int32)
-                    logits, cache = fusedm.decode_step_fused(
-                        params, tok, pos, cache, config,
-                        interpret=not use_pallas, staged_kv=staged)
-                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    return cache, tok, acc + jnp.sum(logits) * 1e-9
-                return jax.lax.fori_loop(
-                    0, n, body, (cache, tokens, jnp.float32(0)))[2]
+        @jax.jit
+        def multi(params, n, cache):
+            def body(i, carry):
+                cache, tok, acc = carry
+                pos = jnp.full((B,), pos0 + i, jnp.int32)
+                logits, cache = fusedm.decode_step_fused(
+                    params, tok, pos, cache, config,
+                    interpret=not use_pallas, **kw)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return cache, tok, acc + jnp.sum(logits) * 1e-9
+            return jax.lax.fori_loop(
+                0, n, body, (cache, tokens, jnp.float32(0)))[2]
 
-            t0 = time.time()
-            float(multi(params, 1, cache))
-            cs = time.time() - t0
-            dt = slope(lambda n: float(multi(params, n, cache)),
-                       8, 8 + args.steps)
-            results[f"decode_staged_{staged}_ms"] = round(dt * 1000, 3)
-            print(f"# staged_kv={staged}: {dt * 1000:.2f} ms/step "
-                  f"({B / dt:.0f} tok/s)  [compile {cs:.0f}s]",
-                  file=sys.stderr, flush=True)
+        t0 = time.time()
+        float(multi(params, 1, cache))
+        cs = time.time() - t0
+        dt = slope(lambda n: float(multi(params, n, cache)),
+                   8, 8 + args.steps)
+        results[f"decode_{tag}_ms"] = round(dt * 1000, 3)
+        print(f"# {tag}: {dt * 1000:.2f} ms/step ({B / dt:.0f} tok/s)  "
+              f"[compile {cs:.0f}s]", file=sys.stderr, flush=True)
 
-    if "mlp" in phases:
+    def crosscheck(tag, **kw):
+        """One real (Mosaic) step, logits vs the plain fused step."""
         import numpy as np
         params = fusedm.quantize_factors_int8_fused(base,
                                                     fuse_factor_kernel="l")
-        # on-chip correctness: one real (Mosaic) step each way, logits must
-        # agree to the kernel's f32/bf16 noise floor
         ca = llama.HeadMajorQuantKVCache.create(config, B, args.context)
         cb = llama.HeadMajorQuantKVCache.create(config, B, args.context)
         pos1 = jnp.full((B,), pos0, jnp.int32)
         la, _ = fusedm.decode_step_fused(params, tokens, pos1, ca, config,
                                          interpret=not use_pallas)
         lb, _ = fusedm.decode_step_fused(params, tokens, pos1, cb, config,
-                                         interpret=not use_pallas,
-                                         mlp_kernel=True)
+                                         interpret=not use_pallas, **kw)
         la, lb = np.asarray(la), np.asarray(lb)
         rel = np.linalg.norm(lb - la) / max(np.linalg.norm(la), 1e-9)
-        results["mlp_logits_rel"] = float(rel)
-        print(f"# mlp on-chip logits rel diff: {rel:.2e}", file=sys.stderr,
-              flush=True)
+        results[f"{tag}_logits_rel"] = float(rel)
+        print(f"# {tag} on-chip logits rel diff: {rel:.2e}",
+              file=sys.stderr, flush=True)
         assert rel < 1e-2, rel
-        for mlp in (False, True):
-            cache = llama.HeadMajorQuantKVCache.create(config, B,
-                                                       args.context)
 
-            @jax.jit
-            def multi(params, n, cache, mlp=mlp):
-                def body(i, carry):
-                    cache, tok, acc = carry
-                    pos = jnp.full((B,), pos0 + i, jnp.int32)
-                    logits, cache = fusedm.decode_step_fused(
-                        params, tok, pos, cache, config,
-                        interpret=not use_pallas, mlp_kernel=mlp)
-                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    return cache, tok, acc + jnp.sum(logits) * 1e-9
-                return jax.lax.fori_loop(
-                    0, n, body, (cache, tokens, jnp.float32(0)))[2]
+    if "staged" in phases:
+        fused_ab("staged_False")
+        fused_ab("staged_True", staged_kv=True)
 
-            t0 = time.time()
-            float(multi(params, 1, cache))
-            cs = time.time() - t0
-            dt = slope(lambda n: float(multi(params, n, cache)),
-                       8, 8 + args.steps)
-            results[f"decode_mlp_{mlp}_ms"] = round(dt * 1000, 3)
-            print(f"# mlp_kernel={mlp}: {dt * 1000:.2f} ms/step "
-                  f"({B / dt:.0f} tok/s)  [compile {cs:.0f}s]",
-                  file=sys.stderr, flush=True)
+    if "mlp" in phases:
+        crosscheck("mlp", mlp_kernel=True)
+        if "staged" not in phases:
+            fused_ab("mlp_False")
+        fused_ab("mlp_True", mlp_kernel=True)
+
+    if "attno" in phases:
+        crosscheck("attno", attn_o_kernel=True)
+        fused_ab("attno_True", attn_o_kernel=True)
+
+    if "combo" in phases:
+        crosscheck("combo", staged_kv=True, mlp_kernel=True,
+                   attn_o_kernel=True)
+        fused_ab("combo_all", staged_kv=True, mlp_kernel=True,
+                 attn_o_kernel=True)
 
     if "blockn" in phases:
         import numpy as np

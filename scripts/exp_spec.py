@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--configs", default=(
         "4:4:0,4:4:0.02,4:4:0.05,4:4:0.1,4:4:0.3,2:4:0.1,8:4:0.1,4:8:0.05"),
         help="comma list of gamma:draft_layers:scale_noise")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature: 0 = greedy (argmax-match "
+                         "acceptance — knife-edge on untrained weights), "
+                         ">0 = stochastic rejection sampling (acceptance "
+                         "= E[min(p,q)/q], degrades smoothly with draft "
+                         "divergence)")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +86,7 @@ def main():
     T = args.context
     pos0 = 8
     tokens = jnp.zeros((B,), jnp.int32)
-    temps = jnp.zeros((B,), jnp.float32)        # greedy
+    temps = jnp.full((B,), args.temperature, jnp.float32)
     tks = jnp.zeros((B,), jnp.int32)
     tps = jnp.ones((B,), jnp.float32)
 

@@ -392,3 +392,122 @@ class TestFusedHeadMajor:
         with pytest.raises(ValueError, match="flash_attn"):
             FastServingEngine(object(), TINY, max_slots=2, max_seq_len=16,
                               flash_attn=True)
+
+
+class TestFusedAttnO:
+    def _weights(self, rng, L, h, qdim, rank, bits):
+        f = 8 // bits
+        return (
+            jnp.asarray(rng.integers(0, 256, (L, h, qdim // f)), jnp.uint8),
+            jnp.asarray(rng.uniform(1e-3, 1e-2, (L, h, 1)), jnp.float32),
+            jnp.asarray(rng.integers(-127, 128, (L, rank, qdim)), jnp.int8),
+            jnp.asarray(rng.uniform(1e-4, 1e-3, (L, rank, 1)), jnp.float32),
+            jnp.asarray(rng.integers(-127, 128, (L, h, rank)), jnp.int8),
+            jnp.asarray(rng.uniform(1e-4, 1e-3, (L, h, 1)), jnp.float32))
+
+    @pytest.mark.parametrize("staged", [False, True])
+    def test_matches_unfused_composition(self, staged):
+        from ee274_convexcaldera_llm_quantization_tpu.ops import (
+            kernels as Kr)
+        rng = np.random.default_rng(0)
+        L, B, KVH, G, D, T, rank, bits, h = 2, 3, 4, 1, 128, 64, 128, 4, 128
+        qdim = KVH * D
+        q = jnp.asarray(rng.standard_normal((B, KVH, G, D)), jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(1), L, B, KVH,
+                                       T, D)
+        ow, osc, oR, oRs, oL, oLs = self._weights(rng, L, h, qdim, rank,
+                                                  bits)
+        pos = jnp.asarray([5, 40, 63], jnp.int32)
+        kf = jnp.asarray(rng.standard_normal((L, B, KVH, D)),
+                         jnp.float32) * 0.1
+        vf = jnp.asarray(rng.standard_normal((L, B, KVH, D)),
+                         jnp.float32) * 0.1
+        for l in range(L):
+            li = jnp.asarray(l)
+            if staged:
+                attn = AT.flash_decode_q8_staged(
+                    q, k, v, ksc, vsc, kf, vf, li, pos, block_t=32,
+                    interpret=True)
+            else:
+                attn = AT.flash_decode_q8(q, k, v, ksc, vsc, li, pos,
+                                          block_t=32, interpret=True)
+            x = attn.reshape(B, qdim)
+            xr = jnp.dot(x.astype(jnp.bfloat16),
+                         oR[l].T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) \
+                * oRs[l][:, 0][None, :]
+            ref = Kr.quantized_matmul_w4a8_l_stacked(
+                x, ow, osc, li, xr, oL, oLs, num_bits=bits, rank=rank,
+                splits=(h,), interpret=True)
+            got = AT.flash_decode_attn_o(
+                q, k, v, ksc, vsc, kf, vf, li, pos, ow, osc, oR, oRs,
+                oL, oLs, num_bits=bits, rank=rank, staged=staged,
+                block_t=32, interpret=True)
+            rel = (np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                   / max(np.linalg.norm(np.asarray(ref)), 1e-9))
+            assert rel < 2e-3, (staged, l, rel)
+
+    def test_rejects_gqa(self):
+        rng = np.random.default_rng(2)
+        q = jnp.zeros((1, 2, 2, 128), jnp.float32)   # G = 2
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(3), 1, 1, 2,
+                                       32, 128)
+        ow = jnp.zeros((1, 128, 256), jnp.uint8)
+        with pytest.raises(ValueError, match="MHA"):
+            AT.flash_decode_attn_o(
+                q, k, v, ksc, vsc,
+                jnp.zeros((1, 1, 2, 128)), jnp.zeros((1, 1, 2, 128)),
+                jnp.asarray(0), jnp.asarray([3], jnp.int32), ow,
+                jnp.zeros((1, 128, 1)), jnp.zeros((1, 128, 512), jnp.int8),
+                jnp.zeros((1, 128, 1)), jnp.zeros((1, 128, 128), jnp.int8),
+                jnp.zeros((1, 128, 1)), num_bits=4, rank=128,
+                interpret=True)
+
+
+class TestDecodeStepAttnO:
+    def _mha_model(self):
+        import bench
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import (
+            ModelConfig)
+        cfg = ModelConfig(vocab_size=256, hidden_size=512,
+                          intermediate_size=512, num_layers=2, num_heads=4,
+                          num_kv_heads=4, head_dim=128, max_seq_len=64)
+        sp = bench.build_compressed_llama_params(cfg, num_bits=4, rank=128,
+                                                 mode="w4a8")
+        fp = fusedm.quantize_factors_int8_fused(
+            fusedm.fuse_stacked(sp), fuse_factor_kernel="l")
+        return fp, cfg
+
+    @pytest.mark.parametrize("staged", [False, True])
+    def test_generation_matches_unfused(self, staged):
+        fp, cfg = self._mha_model()
+        assert fusedm._attn_o_kernel_supported(fp, cfg)
+        seqs = {}
+        for attno in (False, True):
+            cache = llama.HeadMajorQuantKVCache.create(cfg, 2, 32)
+            tok = jnp.asarray([3, 9], jnp.int32)
+            out = []
+            for step in range(4):
+                pos = jnp.asarray([1 + step, 5 + step], jnp.int32)
+                logits, cache = fusedm.decode_step_fused(
+                    fp, tok, pos, cache, cfg, interpret=True,
+                    staged_kv=staged, attn_o_kernel=attno)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                out.append([int(t) for t in tok])
+            seqs[attno] = out
+        assert seqs[True] == seqs[False], (staged, seqs)
+
+    def test_rejects_gqa_config(self):
+        import bench
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import (
+            TINY)
+        sp = bench.build_compressed_llama_params(TINY, num_bits=4, rank=128,
+                                                 mode="w4a8")
+        fp = fusedm.quantize_factors_int8_fused(
+            fusedm.fuse_stacked(sp), fuse_factor_kernel="l")
+        cache = llama.HeadMajorQuantKVCache.create(TINY, 1, 16)
+        with pytest.raises(ValueError, match="attn_o_kernel"):
+            fusedm.decode_step_fused(
+                fp, jnp.asarray([1], jnp.int32),
+                jnp.asarray([0], jnp.int32), cache, TINY, interpret=True,
+                attn_o_kernel=True)
