@@ -338,12 +338,15 @@ def main():
                         action=argparse.BooleanOptionalAction, default=False,
                         help="fused flash-attention + o_proj megakernel "
                              "(MHA models, --flash-attn path only)")
-    parser.add_argument("--staged-kv",
-                        action=argparse.BooleanOptionalAction, default=False,
+    parser.add_argument("--staged-kv", default="off",
+                        choices=["off", "on", "uniform"],
                         help="stage each layer's new K/V and commit to the "
                              "big cache once per step (head-major cache "
                              "only): 160 update-slice thunks instead of "
-                             "1024 at B=8/L=32")
+                             "1024 at B=8/L=32. 'uniform' additionally "
+                             "collapses the commit to 4 full-batch column "
+                             "writes (valid for lockstep batch decode, "
+                             "which is what this bench measures)")
     parser.add_argument("--flash-attn",
                         action=argparse.BooleanOptionalAction, default=True,
                         help="flash decode-attention Pallas kernel over a "
@@ -436,10 +439,12 @@ def main():
             cache, tok, acc = carry
             pos = jnp.full((B,), pos0 + i, jnp.int32)
             if args.fused:
+                staged = {"off": False, "on": True,
+                          "uniform": "uniform"}[args.staged_kv]
                 logits, cache = fusedm.decode_step_fused(
                     params, tok, pos, cache, config,
                     interpret=not use_pallas,
-                    staged_kv=args.staged_kv and args.flash_attn,
+                    staged_kv=staged if args.flash_attn else False,
                     mlp_kernel=args.mlp_kernel,
                     attn_o_kernel=args.attn_o_kernel and args.flash_attn)
             elif fast_path:
@@ -491,7 +496,8 @@ def main():
         ("-flash" if args.flash_attn else
          ("-kv8" if args.kv_int8 else "")) + \
         ("-f8" if args.int8_factors else "") + \
-        ("-staged" if (args.staged_kv and args.flash_attn) else "") + \
+        ({"off": "", "on": "-staged", "uniform": "-stagedu"}[args.staged_kv]
+         if args.flash_attn else "") + \
         ("-mlp" if args.mlp_kernel else "") + \
         ("-attno" if (args.attn_o_kernel and args.flash_attn) else "")
     print(json.dumps({

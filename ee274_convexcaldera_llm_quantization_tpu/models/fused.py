@@ -405,6 +405,13 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
     once per step — 160 update-slice ops instead of 1024 at B=8/L=32,
     whose XLA thunk overhead is real at ~10 ms steps. Numerically equal to
     the inline path up to f32 online-softmax ordering.
+
+    ``staged_kv="uniform"``: additionally assume every batch row decodes
+    at the SAME position (lockstep/static batching — the bench scenario;
+    continuous batching with ragged slots must use ``True``): the commit
+    collapses to ONE full-batch column write per cache array (4 per step).
+    Only ``pos[0]`` is honored; rows at other positions would be written
+    at the wrong column.
     """
     quant_kv = isinstance(cache, QuantKVCache)
     head_major = isinstance(cache, HeadMajorQuantKVCache)
@@ -442,15 +449,14 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         if not head_major:
             raise ValueError("staged_kv requires a HeadMajorQuantKVCache")
         Lk, KVH, D = config.num_layers, config.num_kv_heads, config.head_dim
-        # int8 codes + scales for the end-of-step cache commit, plus the
-        # dequantized f32 values the staged flash kernel consumes (Mosaic
-        # rejects (1, 1, KVH) scale blocks, so the kernel takes code*scale)
+        # int8 codes + scales staged for the end-of-step cache commit; the
+        # staged flash kernel consumes the CURRENT layer's dequantized f32
+        # K/V directly (no staging round trip — Mosaic rejects (1, 1, KVH)
+        # scale blocks, so the kernel takes code*scale values)
         staging = (jnp.zeros((Lk, B, KVH, D), jnp.int8),
                    jnp.zeros((Lk, B, KVH), jnp.float32),
                    jnp.zeros((Lk, B, KVH, D), jnp.int8),
-                   jnp.zeros((Lk, B, KVH), jnp.float32),
-                   jnp.zeros((Lk, B, KVH, D), jnp.float32),
-                   jnp.zeros((Lk, B, KVH, D), jnp.float32))
+                   jnp.zeros((Lk, B, KVH), jnp.float32))
 
     def body(l, carry):
         if staged_kv:
@@ -470,28 +476,27 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             vq, vsc = llama.quantize_kv(v[:, 0])
             kf = kq.astype(jnp.float32) * ksc[..., None]
             vf = vq.astype(jnp.float32) * vsc[..., None]
-            sk, sks, sv, svs, skf, svf = stg
+            sk, sks, sv, svs = stg
             sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, 0, 0))
             sks = jax.lax.dynamic_update_slice(sks, ksc[None], (l, 0, 0))
             sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, 0, 0))
             svs = jax.lax.dynamic_update_slice(svs, vsc[None], (l, 0, 0))
-            skf = jax.lax.dynamic_update_slice(skf, kf[None], (l, 0, 0, 0))
-            svf = jax.lax.dynamic_update_slice(svf, vf[None], (l, 0, 0, 0))
-            stg = (sk, sks, sv, svs, skf, svf)
+            stg = (sk, sks, sv, svs)
             qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
                                  config.head_dim)
             if attn_o_kernel:
                 o = lp.o_proj
                 oout = AT.flash_decode_attn_o(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                    skf, svf, l, pos, o.packed, o.scales, o.R, o.R_scale,
+                    kf, vf, l, pos, o.packed, o.scales,
+                    o.R, o.R_scale,
                     o.L, o.L_scale, num_bits=o.num_bits,
                     rank=o.L.shape[2], staged=True, interpret=interpret)
                 attn = None
             else:
                 attn = AT.flash_decode_q8_staged(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                    skf, svf, l, pos,
+                    kf, vf, l, pos,
                     interpret=interpret).reshape(B, config.q_dim)
         elif head_major:
             kq, ksc = llama.quantize_kv(k[:, 0])
@@ -571,19 +576,31 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
     if staged_kv:
         x, cache, stg = jax.lax.fori_loop(
             0, config.num_layers, body, (x, cache, staging))
-        # commit the staged K/V for all layers at once: one (L, 1, KVH,
-        # 1, D) column write per batch row per array
         sk, sks, sv, svs = stg[:4]
         ck, cv, cks, cvs = cache
-        for b in range(B):
+        if staged_kv == "uniform":
+            # lockstep batch: ONE full-batch column write per array
+            p0 = pos[0]
             ck = jax.lax.dynamic_update_slice(
-                ck, sk[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+                ck, sk[:, :, :, None, :], (0, 0, 0, p0, 0))
             cv = jax.lax.dynamic_update_slice(
-                cv, sv[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+                cv, sv[:, :, :, None, :], (0, 0, 0, p0, 0))
             cks = jax.lax.dynamic_update_slice(
-                cks, sks[:, b][:, None, :, None], (0, b, 0, pos[b]))
+                cks, sks[:, :, :, None], (0, 0, 0, p0))
             cvs = jax.lax.dynamic_update_slice(
-                cvs, svs[:, b][:, None, :, None], (0, b, 0, pos[b]))
+                cvs, svs[:, :, :, None], (0, 0, 0, p0))
+        else:
+            # commit the staged K/V for all layers at once: one (L, 1,
+            # KVH, 1, D) column write per batch row per array
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, sk[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, sv[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+                cks = jax.lax.dynamic_update_slice(
+                    cks, sks[:, b][:, None, :, None], (0, b, 0, pos[b]))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, svs[:, b][:, None, :, None], (0, b, 0, pos[b]))
         cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
     else:
         x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))

@@ -266,6 +266,12 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
     step's DEQUANTIZED (``code * scale``) K/V per layer; passing the exact
     dequantized values keeps the math bit-identical to the inline path.
     The cache is expected to hold tokens ``< pos[b]`` only.
+
+    ``k_new``/``v_new`` may be layer-stacked ``(L, B, KVH, D)`` (legacy —
+    the caller staged every layer) or the CURRENT layer's ``(B, KVH, D)``
+    directly; the direct form saves two staging ``dynamic_update_slice``
+    thunks per layer in the decode loop (the staged int8 codes + scales
+    are still staged separately for the end-of-step cache commit).
     """
     B, KVH, G, D = q.shape
     T = k.shape[3]
@@ -273,6 +279,14 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
     while T % block_t:
         block_t //= 2
     scale = 1.0 / (D ** 0.5)
+    if k_new.ndim == 3:                   # (B, KVH, D) current-layer form
+        k_new = k_new[:, None]            # -> (B, 1, KVH, D); the kernel
+        v_new = v_new[:, None]            # reads block [0, 0] either way
+        new_spec = pl.BlockSpec((1, 1, KVH, D),
+                                lambda b, t, L, P: (b, 0, 0, 0))
+    else:
+        new_spec = pl.BlockSpec((1, 1, KVH, D),
+                                lambda b, t, L, P: (L[0], b, 0, 0))
 
     def _kv_idx(b, t, L, P):
         return (L[0], b, 0,
@@ -291,8 +305,8 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
             pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
             pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
             pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
-            pl.BlockSpec((1, 1, KVH, D), lambda b, t, L, P: (L[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, KVH, D), lambda b, t, L, P: (L[0], b, 0, 0)),
+            new_spec,
+            new_spec,
         ],
         out_specs=pl.BlockSpec((1, KVH, G, D),
                                lambda b, t, L, P: (b, 0, 0, 0)),
@@ -566,9 +580,15 @@ def _flash_attn_o_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
                 out = (acc_ref[:] * alpha + p * vn[:, None, :]) / s
             else:
                 out = acc_ref[:] / s_ref[:, :, :1]    # (KVH, 1, D)
+            # Mosaic forbids dynamic stores at unaligned sublane offsets
+            # (b is dynamic), so select-merge the row into each head's
+            # statically-indexed (TM, D) window instead
+            TMr = attn_ref.shape[0]
+            rowsel = (jax.lax.broadcasted_iota(jnp.int32, (TMr, 1), 0) == b)
             for kvh in range(KVH):
-                attn_ref[pl.ds(b, 1),
-                         pl.ds(pl.multiple_of(kvh * D, D), D)] = out[kvh]
+                w = attn_ref[:, kvh * D:(kvh + 1) * D]
+                attn_ref[:, kvh * D:(kvh + 1) * D] = jnp.where(
+                    rowsel, jnp.broadcast_to(out[kvh], (TMr, D)), w)
 
     @pl.when(j == A)
     def _requant():
@@ -701,11 +721,15 @@ def flash_decode_attn_o(q: Array, k: Array, v: Array, ks: Array, vs: Array,
             else P[b] // block_t
         return (L[0], b, 0, jnp.minimum(t, lastf))
 
-    def _new_idx(jj, L, P):
-        return (L[0], jnp.minimum(jj // nt, B - 1), 0, 0)
+    if k_new.ndim == 3:                   # (B, KVH, D) current-layer form
+        k_new = k_new[:, None]
+        v_new = v_new[:, None]
 
-    def _news_idx(jj, L, P):
-        return (L[0], jnp.minimum(jj // nt, B - 1), 0, 0)
+        def _new_idx(jj, L, P):
+            return (jnp.minimum(jj // nt, B - 1), 0, 0, 0)
+    else:
+        def _new_idx(jj, L, P):
+            return (L[0], jnp.minimum(jj // nt, B - 1), 0, 0)
 
     def _ow_idx(jj, L, P):
         return (L[0], jnp.maximum(jj - A, 0), 0)

@@ -904,8 +904,8 @@ def quantized_matmul_w4a8_l_stacked(
 
 
 def _qmm_w4a8_mlp_stacked_kernel(
-        l_ref, xq_ref, sx_ref, xr_ref, guw_ref, gus_ref, guL_ref, guLs_ref,
-        gugs_ref, dnw_ref, dns_ref, dnR_ref, dnRs_ref, dnL_ref, dnLs_ref,
+        l_ref, gugs_ref, xq_ref, sx_ref, xr_ref, guw_ref, gus_ref, guL_ref,
+        guLs_ref, dnw_ref, dns_ref, dnR_ref, dnRs_ref, dnL_ref, dnLs_ref,
         o_ref, gm_ref, amax_ref, m8_ref, sm_ref, rs_ref, xrd_ref, *,
         num_bits: int, gu_chunk: int, dn_chunk: int, rank: int, Gg: int,
         G1: int, bn1: int):
@@ -928,8 +928,13 @@ def _qmm_w4a8_mlp_stacked_kernel(
     ``pallas_call`` boundary. Factor numerics match :func:`low_rank_matmul`
     (bf16 dots, f32 rank-1 rescales); the down activation quantization
     matches :func:`quantize_activations_int8` exactly.
+
+    The (layers, 2) gate/up global scales ride as the SECOND scalar-
+    prefetch argument (indexed by the layer id from the first) — Mosaic
+    rejects a (1, 2) SMEM block of a (layers, 2) input (second-minor 1
+    fails the 8-divisibility rule).
     """
-    del l_ref
+    lsel = l_ref[0]
     j = pl.program_id(0)
     f = _pack_factor(num_bits)
     maxq = 2 ** (num_bits - 1) - 1
@@ -970,7 +975,7 @@ def _qmm_w4a8_mlp_stacked_kernel(
         out = (acc.astype(jnp.float32)
                * gus_ref[0, :, 0][None, :] * sx_ref[:, 0][:, None]
                + ylr * guLs_ref[0, :, 0][None, :])
-        out = out * jnp.where(is_gate, gugs_ref[0, 0], gugs_ref[0, 1])
+        out = out * jnp.where(is_gate, gugs_ref[lsel, 0], gugs_ref[lsel, 1])
         col = pl.multiple_of(jnp.where(is_gate, j, j - Gg) * bn1, bn1)
 
         @pl.when(is_gate)
@@ -1113,37 +1118,35 @@ def quantized_matmul_w4a8_mlp_stacked(
         raise ValueError("mlp megakernel supports one row block "
                          f"(M={M} > block_m={block_m})")
 
-    def gu_idx(j, Lx):
+    def gu_idx(j, Lx, Gs):
         return (Lx[0], jnp.minimum(j, G1 - 1), 0)
 
-    def gu_idx2(j, Lx):
+    def gu_idx2(j, Lx, Gs):
         return (Lx[0], jnp.minimum(j, G1 - 1), 0)
 
-    def dn_idx(j, Lx):
+    def dn_idx(j, Lx, Gs):
         return (Lx[0], jnp.maximum(j - G1, 0), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,            # layer id + (layers, 2) gu scales
         grid=(G1 + G2,),
         in_specs=[
-            pl.BlockSpec((TM, K), lambda j, Lx: (0, 0)),
-            pl.BlockSpec((TM, 1), lambda j, Lx: (0, 0)),
-            pl.BlockSpec((TM, 2 * rank), lambda j, Lx: (0, 0)),
+            pl.BlockSpec((TM, K), lambda j, Lx, Gs: (0, 0)),
+            pl.BlockSpec((TM, 1), lambda j, Lx, Gs: (0, 0)),
+            pl.BlockSpec((TM, 2 * rank), lambda j, Lx, Gs: (0, 0)),
             pl.BlockSpec((1, bn1, gu_plane), gu_idx),
             pl.BlockSpec((1, bn1, 1), gu_idx2),
             pl.BlockSpec((1, bn1, rank), gu_idx),
             pl.BlockSpec((1, bn1, 1), gu_idx2),
-            pl.BlockSpec((1, 2), lambda j, Lx: (Lx[0], 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bn2, dn_plane), dn_idx),
             pl.BlockSpec((1, bn2, 1), dn_idx),
-            pl.BlockSpec((1, rank, im), lambda j, Lx: (Lx[0], 0, 0)),
-            pl.BlockSpec((1, rank, 1), lambda j, Lx: (Lx[0], 0, 0)),
+            pl.BlockSpec((1, rank, im), lambda j, Lx, Gs: (Lx[0], 0, 0)),
+            pl.BlockSpec((1, rank, 1), lambda j, Lx, Gs: (Lx[0], 0, 0)),
             pl.BlockSpec((1, bn2, rank), dn_idx),
             pl.BlockSpec((1, bn2, 1), dn_idx),
         ],
-        out_specs=pl.BlockSpec((TM, bn2),
-                               lambda j, Lx: (0, jnp.maximum(j - G1, 0))),
+        out_specs=pl.BlockSpec(
+            (TM, bn2), lambda j, Lx, Gs: (0, jnp.maximum(j - G1, 0))),
         scratch_shapes=[
             pltpu.VMEM((TM, im), jnp.float32),     # gate outputs, then m
             pltpu.VMEM((TM, 128), jnp.float32),    # running absmax of m
@@ -1164,9 +1167,10 @@ def quantized_matmul_w4a8_mlp_stacked(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, sx,
-      xr_gu.astype(jnp.float32), gu_packed, gu_scales.astype(jnp.float32),
-      gu_L_cat, gu_L_scale.astype(jnp.float32), gu_gs.astype(jnp.float32),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), gu_gs.astype(jnp.float32),
+      xq, sx, xr_gu.astype(jnp.float32), gu_packed,
+      gu_scales.astype(jnp.float32), gu_L_cat,
+      gu_L_scale.astype(jnp.float32),
       dn_packed, dn_scales.astype(jnp.float32), dn_R,
       dn_R_scale.astype(jnp.float32), dn_L, dn_L_scale.astype(jnp.float32))
     return out[:M]

@@ -178,24 +178,27 @@ def main():
             index_in=jnp.asarray(index_in, jnp.int32))
 
     @jax.jit
-    def build_rest():
+    def build_all():
+        # ONE jitted program for the whole tree: eager per-bucket builds
+        # (21 buckets x several ops) fragment relay HBM enough to tip a
+        # 13B build into RESOURCE_EXHAUSTED
         key = jax.random.PRNGKey(7)
         k1, k2 = jax.random.split(key)
         embed = (jax.random.normal(k1, (config.vocab_size, h), jnp.float32)
                  * 0.02).astype(jnp.bfloat16)
         head = (jax.random.normal(k2, (config.vocab_size, h), jnp.float32)
                 * 0.02).astype(jnp.bfloat16)
-        return (embed, head, jnp.ones((L, h), jnp.float32),
-                jnp.ones((L, h), jnp.float32), jnp.ones((h,), jnp.float32))
+        projections = {name: build_projection(name) for name in PROJ_SHAPES}
+        return mixed.MixedStackedParams(
+            embed=embed,
+            layers=mixed.MixedLayerStack(
+                attn_norm=jnp.ones((L, h), jnp.float32),
+                mlp_norm=jnp.ones((L, h), jnp.float32), **projections),
+            final_norm=jnp.ones((h,), jnp.float32),
+            lm_head=DenseLinear(w=head))
 
     t0 = time.time()
-    embed, head, attn_norm, mlp_norm, final_norm = build_rest()
-    projections = {name: build_projection(name) for name in PROJ_SHAPES}
-    params = mixed.MixedStackedParams(
-        embed=embed,
-        layers=mixed.MixedLayerStack(
-            attn_norm=attn_norm, mlp_norm=mlp_norm, **projections),
-        final_norm=final_norm, lm_head=DenseLinear(w=head))
+    params = build_all()
     jax.block_until_ready(params.embed)
     print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)

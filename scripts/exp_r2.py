@@ -192,10 +192,10 @@ def main():
         print(f"# no-kvwrite: {ms:.2f} ms/step  [compile {cs:.0f}s]",
               file=sys.stderr, flush=True)
 
-    def fused_ab(tag, **kw):
+    def fused_ab(tag, fk="l", **kw):
         """Slope-timed decode with decode_step_fused(**kw) variants."""
         params = fusedm.quantize_factors_int8_fused(base,
-                                                    fuse_factor_kernel="l")
+                                                    fuse_factor_kernel=fk)
         cache = llama.HeadMajorQuantKVCache.create(config, B, args.context)
 
         @jax.jit
@@ -242,6 +242,7 @@ def main():
     if "staged" in phases:
         fused_ab("staged_False")
         fused_ab("staged_True", staged_kv=True)
+        fused_ab("staged_uniform", staged_kv="uniform")
 
     if "mlp" in phases:
         crosscheck("mlp", mlp_kernel=True)
@@ -253,10 +254,21 @@ def main():
         crosscheck("attno", attn_o_kernel=True)
         fused_ab("attno_True", attn_o_kernel=True)
 
+    if "best" in phases:
+        # headline candidates: factor path x staged-KV, measured e2e
+        fused_ab("xla_inline", fk="xla")
+        fused_ab("xla_staged", fk="xla", staged_kv=True)
+        fused_ab("xla_staged_uniform", fk="xla", staged_kv="uniform")
+        fused_ab("l_staged_direct", fk="l", staged_kv=True)
+        fused_ab("xla_staged_attno", fk="xla", staged_kv=True,
+                 attn_o_kernel=True)
+
     if "combo" in phases:
-        crosscheck("combo", staged_kv=True, mlp_kernel=True,
+        crosscheck("combo", staged_kv="uniform", mlp_kernel=True,
                    attn_o_kernel=True)
-        fused_ab("combo_all", staged_kv=True, mlp_kernel=True,
+        fused_ab("combo_all", staged_kv="uniform", mlp_kernel=True,
+                 attn_o_kernel=True)
+        fused_ab("combo_raggedpos", staged_kv=True, mlp_kernel=True,
                  attn_o_kernel=True)
 
     if "blockn" in phases:
