@@ -324,21 +324,33 @@ def main():
                         action=argparse.BooleanOptionalAction, default=True,
                         help="int8 low-rank factors + int8 lm_head "
                              "(halves factor/head HBM reads)")
-    parser.add_argument("--factor-kernel", default="l",
+    parser.add_argument("--factor-kernel", default="xla",
                         choices=["xla", "l", "lr"],
                         help="low-rank factor path on the fused decode "
-                             "step: XLA slab dots, L-half fused in-kernel "
-                             "(default), or fully in-kernel")
+                             "step: XLA slab dots (default — the async "
+                             "slab copies overlap the Pallas kernels, "
+                             "measured fastest e2e), L-half fused "
+                             "in-kernel, or fully in-kernel")
     parser.add_argument("--mlp-kernel",
                         action=argparse.BooleanOptionalAction, default=False,
                         help="whole-MLP megakernel: gate/up + silu-mul + "
                              "requant + down in ONE Pallas launch per layer "
                              "(needs --int8-factors and factor-kernel l/lr)")
+    parser.add_argument("--attn-dots", default="f32",
+                        choices=["f32", "bf16"],
+                        help="flash decode-attention dot dtype: bf16 "
+                             "halves the VPU cost of converting the int8 "
+                             "KV slabs (f32 accumulation either way; the "
+                             "f32 path is the exactness twin)")
+    parser.add_argument("--head-pallas",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="serve the int8 lm_head with the Pallas "
+                             "int8 MXU kernel instead of the XLA int8 dot")
     parser.add_argument("--attn-o-kernel",
                         action=argparse.BooleanOptionalAction, default=False,
                         help="fused flash-attention + o_proj megakernel "
                              "(MHA models, --flash-attn path only)")
-    parser.add_argument("--staged-kv", default="off",
+    parser.add_argument("--staged-kv", default="uniform",
                         choices=["off", "on", "uniform"],
                         help="stage each layer's new K/V and commit to the "
                              "big cache once per step (head-major cache "
@@ -446,7 +458,9 @@ def main():
                     interpret=not use_pallas,
                     staged_kv=staged if args.flash_attn else False,
                     mlp_kernel=args.mlp_kernel,
-                    attn_o_kernel=args.attn_o_kernel and args.flash_attn)
+                    attn_o_kernel=args.attn_o_kernel and args.flash_attn,
+                    attn_dots=args.attn_dots,
+                    head_pallas=args.head_pallas)
             elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
@@ -499,7 +513,8 @@ def main():
         ({"off": "", "on": "-staged", "uniform": "-stagedu"}[args.staged_kv]
          if args.flash_attn else "") + \
         ("-mlp" if args.mlp_kernel else "") + \
-        ("-attno" if (args.attn_o_kernel and args.flash_attn) else "")
+        ("-attno" if (args.attn_o_kernel and args.flash_attn) else "") + \
+        ("-abf16" if (args.attn_dots == "bf16" and args.flash_attn) else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
                   f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "

@@ -385,13 +385,16 @@ def _attn_o_kernel_supported(params: FusedStackedParams,
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "staged_kv",
-                                    "mlp_kernel", "attn_o_kernel"),
+                                    "mlp_kernel", "attn_o_kernel",
+                                    "attn_dots", "head_pallas"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
                       interpret: bool = False, staged_kv: bool = False,
                       mlp_kernel: bool = False,
-                      attn_o_kernel: bool = False):
+                      attn_o_kernel: bool = False,
+                      attn_dots: str = "f32",
+                      head_pallas: bool = False):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
@@ -496,8 +499,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             else:
                 attn = AT.flash_decode_q8_staged(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                    kf, vf, l, pos,
-                    interpret=interpret).reshape(B, config.q_dim)
+                    kf, vf, l, pos, interpret=interpret,
+                    dots=attn_dots).reshape(B, config.q_dim)
         elif head_major:
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
@@ -529,7 +532,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             else:
                 attn = AT.flash_decode_q8(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                    l, pos, interpret=interpret).reshape(B, config.q_dim)
+                    l, pos, interpret=interpret,
+                    dots=attn_dots).reshape(B, config.q_dim)
         elif quant_kv:
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
@@ -608,7 +612,7 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         x[:, None, :],
         llama.ModelParams(params.embed, [], params.final_norm,
                           params.lm_head),
-        config, False, interpret)
+        config, head_pallas and not interpret, interpret)
     return logits[:, 0, :], cache
 
 

@@ -43,7 +43,8 @@ _NEG_INF = -1e30
 
 def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
                             vs_ref, o_ref, m_ref, s_ref, acc_ref, *,
-                            block_t: int, scale: float):
+                            block_t: int, scale: float,
+                            dots: str = "f32"):
     """Grid (B, T/block_t); each program attends ALL kv heads of one batch
     row against one token block (so the per-(token, head) scale blocks are
     full (KVH, block_t) tiles — Mosaic forbids second-minor blocks of 1).
@@ -64,10 +65,16 @@ def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
     # KV DMAs are elided by the clamped index_map (the block index stops
     # changing, so Mosaic skips the re-fetch) and their compute is skipped
     # here. The mask below keeps correctness independent of the skip.
+    cdt = jnp.bfloat16 if dots == "bf16" else jnp.float32
+
     @pl.when(t <= pos_ref[b] // block_t)
     def _compute():
-        q = q_ref[0]                                  # (KVH, G, D) f32
-        k = k_ref[0, 0].astype(jnp.float32)           # (KVH, block_t, D)
+        # "bf16" dots: the int8 cache converts to bf16 instead of f32 —
+        # the conversion of the whole (KVH, block_t, D) slab is the VPU
+        # cost that dominates decode attention above the KV-read
+        # roofline; accumulation stays f32 (standard flash practice)
+        q = q_ref[0].astype(cdt)                      # (KVH, G, D)
+        k = k_ref[0, 0].astype(cdt)                   # (KVH, block_t, D)
         ks = ks_ref[0, 0]                             # (KVH, block_t) f32
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -87,9 +94,9 @@ def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
         s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-        v = v_ref[0, 0].astype(jnp.float32)           # (KVH, block_t, D)
+        v = v_ref[0, 0].astype(cdt)                   # (KVH, block_t, D)
         vs = vs_ref[0, 0]                             # (KVH, block_t)
-        pv = p * vs[:, None, :]
+        pv = (p * vs[:, None, :]).astype(cdt)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # (KVH, G, D)
@@ -103,10 +110,10 @@ def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_t", "interpret"))
+                   static_argnames=("block_t", "interpret", "dots"))
 def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
                     layer: Array, pos: Array, block_t: int = 256,
-                    interpret: bool = False) -> Array:
+                    interpret: bool = False, dots: str = "f32") -> Array:
     """Single-token flash attention against layer ``layer`` of a stacked
     head-major int8 KV cache.
 
@@ -160,7 +167,7 @@ def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
     )
     out = pl.pallas_call(
         functools.partial(_flash_decode_q8_kernel, block_t=block_t,
-                          scale=scale),
+                          scale=scale, dots=dots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -177,7 +184,8 @@ def flash_decode_q8(q: Array, k: Array, v: Array, ks: Array, vs: Array,
 def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
                                    v_ref, vs_ref, kn_ref, vn_ref,
                                    o_ref, m_ref, s_ref, acc_ref, *,
-                                   block_t: int, scale: float):
+                                   block_t: int, scale: float,
+                                   dots: str = "f32"):
     """Staged-commit variant: the cache holds tokens ``< pos[b]`` only; the
     CURRENT token's K/V arrive as separate (layer-stacked) inputs and
     contribute one extra online-softmax update in the final block. Lets
@@ -203,10 +211,12 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
 
     last = jnp.maximum(pos_ref[b] - 1, 0) // block_t
 
+    cdt = jnp.bfloat16 if dots == "bf16" else jnp.float32
+
     @pl.when((t <= last) & (pos_ref[b] > 0))
     def _compute():
-        q = q_ref[0]                                  # (KVH, G, D) f32
-        k = k_ref[0, 0].astype(jnp.float32)           # (KVH, block_t, D)
+        q = q_ref[0].astype(cdt)                      # (KVH, G, D)
+        k = k_ref[0, 0].astype(cdt)                   # (KVH, block_t, D)
         ks = ks_ref[0, 0]                             # (KVH, block_t) f32
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -224,9 +234,9 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
         s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(cdt)
         vs = vs_ref[0, 0]
-        pv = p * vs[:, None, :]
+        pv = (p * vs[:, None, :]).astype(cdt)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -253,12 +263,13 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_t", "interpret"))
+                   static_argnames=("block_t", "interpret", "dots"))
 def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
                            vs: Array, k_new: Array, v_new: Array,
                            layer: Array,
                            pos: Array, block_t: int = 256,
-                           interpret: bool = False) -> Array:
+                           interpret: bool = False,
+                           dots: str = "f32") -> Array:
     """:func:`flash_decode_q8` with the current token's K/V supplied as
     layer-stacked staging arrays instead of pre-written into the cache.
 
@@ -318,7 +329,7 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
     )
     out = pl.pallas_call(
         functools.partial(_flash_decode_q8_staged_kernel, block_t=block_t,
-                          scale=scale),
+                          scale=scale, dots=dots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -254,6 +254,130 @@ def main():
         crosscheck("attno", attn_o_kernel=True)
         fused_ab("attno_True", attn_o_kernel=True)
 
+    if "anatomy" in phases:
+        # Attribute the gap above the weight-read roofline by stripping
+        # one subsystem at a time (numerics garbage, timing valid: every
+        # variant keeps a data dependence from all live compute to the
+        # readback scalar). All variants: fk=xla, head-major cache.
+        import numpy as np
+        params = fusedm.quantize_factors_int8_fused(base,
+                                                    fuse_factor_kernel="xla")
+        kv_groups = config.num_heads // config.num_kv_heads
+
+        def step(params, tok, pos, cache, *, attn_on=True, kv_on=True,
+                 norms_on=True, logits_on=True):
+            lp = params.layers
+            x = params.embed[tok].astype(jnp.float32)
+            cos, sin = llama.rope_tables(config, pos[:, None])
+
+            def body(l, carry):
+                x, cache = carry
+                if norms_on:
+                    an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0,
+                                                      keepdims=False)
+                    y = llama.rms_norm(x[:, None, :], an,
+                                       config.rms_norm_eps)[:, 0]
+                else:
+                    y = x
+                q, k, v = fusedm._apply_fused(lp.qkv, l, y, not use_pallas)
+                q = q.reshape(B, 1, config.num_heads, config.head_dim)
+                k = k.reshape(B, 1, config.num_kv_heads, config.head_dim)
+                v = v.reshape(B, 1, config.num_kv_heads, config.head_dim)
+                if norms_on:
+                    q = llama.apply_rope(q, cos, sin)
+                    k = llama.apply_rope(k, cos, sin)
+                if kv_on:
+                    kq, ksc = llama.quantize_kv(k[:, 0])
+                    vq, vsc = llama.quantize_kv(v[:, 0])
+                    ck, cv, cks, cvs = cache
+                    for b in range(B):
+                        ck = jax.lax.dynamic_update_slice(
+                            ck, kq[b][None, None, :, None, :],
+                            (l, b, 0, pos[b], 0))
+                        cv = jax.lax.dynamic_update_slice(
+                            cv, vq[b][None, None, :, None, :],
+                            (l, b, 0, pos[b], 0))
+                        cks = jax.lax.dynamic_update_slice(
+                            cks, ksc[b][None, None, :, None],
+                            (l, b, 0, pos[b]))
+                        cvs = jax.lax.dynamic_update_slice(
+                            cvs, vsc[b][None, None, :, None],
+                            (l, b, 0, pos[b]))
+                    cache = llama.HeadMajorQuantKVCache(ck, cv, cks, cvs)
+                else:
+                    # keep k/v live without touching the cache
+                    x = x + 1e-30 * (jnp.sum(k) + jnp.sum(v))
+                if attn_on:
+                    qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
+                                         config.head_dim)
+                    attn = AT.flash_decode_q8(
+                        qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                        l, pos, interpret=not use_pallas).reshape(
+                        B, config.q_dim)
+                else:
+                    attn = q[:, 0].reshape(B, config.q_dim)
+                x = x + fusedm._apply_plain(lp.o_proj, l, attn,
+                                            not use_pallas, "xla")
+                if norms_on:
+                    mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0,
+                                                      keepdims=False)
+                    y = llama.rms_norm(x[:, None, :], mn,
+                                       config.rms_norm_eps)[:, 0]
+                else:
+                    y = x
+                gate, up = fusedm._apply_fused(lp.gateup, l, y,
+                                               not use_pallas)
+                x = x + fusedm._apply_plain(lp.down_proj, l,
+                                            jax.nn.silu(gate) * up,
+                                            not use_pallas, "xla")
+                return x, cache
+
+            x, cache = jax.lax.fori_loop(0, config.num_layers, body,
+                                         (x, cache))
+            if logits_on:
+                logits = llama._logits(
+                    x[:, None, :],
+                    llama.ModelParams(params.embed, [], params.final_norm,
+                                      params.lm_head),
+                    config, False, not use_pallas)
+                return logits[:, 0, :], cache
+            return x[:, :256] * 1e-9, cache      # keep x live, skip head
+
+        def run_variant(tag, **flags):
+            cache = llama.HeadMajorQuantKVCache.create(config, B,
+                                                       args.context)
+
+            @jax.jit
+            def multi(params, n, cache):
+                def bd(i, carry):
+                    cache, tok, acc = carry
+                    pos = jnp.full((B,), pos0 + i, jnp.int32)
+                    out, cache = step(params, tok, pos, cache, **flags)
+                    tok = jnp.remainder(
+                        jnp.asarray(jnp.sum(out, axis=-1) * 1e6,
+                                    jnp.int32), config.vocab_size)
+                    return cache, tok, acc + jnp.sum(out) * 1e-9
+                return jax.lax.fori_loop(
+                    0, n, bd, (cache, tokens, jnp.float32(0)))[2]
+
+            t0 = time.time()
+            float(multi(params, 1, cache))
+            cs = time.time() - t0
+            dt = slope(lambda n: float(multi(params, n, cache)),
+                       8, 8 + args.steps)
+            results[f"anatomy_{tag}_ms"] = round(dt * 1000, 3)
+            print(f"# anatomy {tag}: {dt * 1000:.2f} ms/step  "
+                  f"[compile {cs:.0f}s]", file=sys.stderr, flush=True)
+
+        run_variant("full")
+        run_variant("no_attn", attn_on=False)
+        run_variant("no_kv", kv_on=False)
+        run_variant("no_attn_no_kv", attn_on=False, kv_on=False)
+        run_variant("no_norms", norms_on=False)
+        run_variant("no_logits", logits_on=False)
+        run_variant("matmuls_only", attn_on=False, kv_on=False,
+                    norms_on=False, logits_on=False)
+
     if "best" in phases:
         # headline candidates: factor path x staged-KV, measured e2e
         fused_ab("xla_inline", fk="xla")
@@ -262,6 +386,59 @@ def main():
         fused_ab("l_staged_direct", fk="l", staged_kv=True)
         fused_ab("xla_staged_attno", fk="xla", staged_kv=True,
                  attn_o_kernel=True)
+
+    if "attnbf16" in phases:
+        fused_ab("xla_stagedu_abf16", fk="xla", staged_kv="uniform",
+                 attn_dots="bf16")
+
+    if "launch" in phases:
+        # fixed per-pallas_call overhead: trivial kernel launched in a
+        # dependent chain; slope = launch floor. Also a 1 MB-DMA kernel
+        # to separate fixed overhead from pipeline fill.
+        from jax.experimental import pallas as pl
+
+        def tiny_kernel(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1.0
+
+        for tag, shape in (("tiny", (8, 128)), ("mb1", (1024, 1024))):
+            x = jnp.zeros(shape, jnp.float32)
+
+            @jax.jit
+            def many(x, n):
+                def body(i, x):
+                    return pl.pallas_call(
+                        tiny_kernel,
+                        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    )(x)
+                return jax.lax.fori_loop(0, n, body, x)
+
+            t0 = time.time()
+            float(many(x, 1)[0, 0])
+            cs = time.time() - t0
+            dt = slope(lambda n: float(many(x, n)[0, 0]), 64, 1064)
+            results[f"launch_{tag}_us"] = round(dt * 1e6, 2)
+            print(f"# launch {tag} {shape}: {dt * 1e6:.2f} us/call  "
+                  f"[compile {cs:.0f}s]", file=sys.stderr, flush=True)
+
+        # XLA-op floor for comparison: a dependent chain of trivial
+        # XLA adds (fusions), same protocol
+        x = jnp.zeros((8, 128), jnp.float32)
+
+        @jax.jit
+        def manyx(x, n):
+            def body(i, x):
+                return x * 1.0000001 + 1e-9
+            return jax.lax.fori_loop(0, n, body, x)
+
+        float(manyx(x, 1)[0, 0])
+        dt = slope(lambda n: float(manyx(x, n)[0, 0]), 64, 1064)
+        results["xla_op_us"] = round(dt * 1e6, 2)
+        print(f"# xla trivial fusion: {dt * 1e6:.2f} us/op",
+              file=sys.stderr, flush=True)
+
+    if "head" in phases:
+        fused_ab("xla_stagedu_abf16_head", fk="xla", staged_kv="uniform",
+                 attn_dots="bf16", head_pallas=True)
 
     if "combo" in phases:
         crosscheck("combo", staged_kv="uniform", mlp_kernel=True,

@@ -511,3 +511,39 @@ class TestDecodeStepAttnO:
                 fp, jnp.asarray([1], jnp.int32),
                 jnp.asarray([0], jnp.int32), cache, TINY, interpret=True,
                 attn_o_kernel=True)
+
+
+class TestBf16Dots:
+    def test_bf16_close_to_f32(self):
+        L, B, KVH, G, D, T = 2, 2, 2, 2, 32, 64
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, KVH, G, D),
+                              jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(1), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([17, 60], jnp.int32)
+        f32 = AT.flash_decode_q8(q, k, v, ksc, vsc, jnp.asarray(1), pos,
+                                 block_t=32, interpret=True)
+        bf = AT.flash_decode_q8(q, k, v, ksc, vsc, jnp.asarray(1), pos,
+                                block_t=32, interpret=True, dots="bf16")
+        rel = float(jnp.linalg.norm(bf - f32) / jnp.linalg.norm(f32))
+        assert rel < 0.02, rel
+
+    def test_staged_bf16_close_to_f32(self):
+        L, B, KVH, G, D, T = 2, 2, 2, 1, 32, 64
+        rng = np.random.default_rng(3)
+        q = jax.random.normal(jax.random.PRNGKey(2), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(3), L, B, KVH,
+                                       T, D)
+        kf = jnp.asarray(rng.standard_normal((B, KVH, D)),
+                         jnp.float32) * 0.1
+        vf = jnp.asarray(rng.standard_normal((B, KVH, D)),
+                         jnp.float32) * 0.1
+        pos = jnp.asarray([9, 40], jnp.int32)
+        f32 = AT.flash_decode_q8_staged(q, k, v, ksc, vsc, kf, vf,
+                                        jnp.asarray(0), pos, block_t=32,
+                                        interpret=True)
+        bf = AT.flash_decode_q8_staged(q, k, v, ksc, vsc, kf, vf,
+                                       jnp.asarray(0), pos, block_t=32,
+                                       interpret=True, dots="bf16")
+        rel = float(jnp.linalg.norm(bf - f32) / jnp.linalg.norm(f32))
+        assert rel < 0.02, rel
