@@ -436,6 +436,60 @@ def main():
         print(f"# xla trivial fusion: {dt * 1e6:.2f} us/op",
               file=sys.stderr, flush=True)
 
+    if "projmicro" in phases:
+        # per-projection stacked-kernel cost at decode shapes, dependent
+        # chain over layers (cycling the layer index so weight slabs
+        # always stream from HBM), vs the NON-stacked kernel at the same
+        # shape — isolates any pipelining loss from scalar-prefetch
+        # indexed BlockSpecs
+        import numpy as np
+        rng = np.random.default_rng(0)
+        h, im = config.hidden_size, config.intermediate_size
+        shapes = {"qkv": (config.q_dim + 2 * config.kv_dim, h),
+                  "o": (h, config.q_dim),
+                  "gateup": (2 * im, h),
+                  "down": (h, im)}
+        Lk = config.num_layers
+        for name, (N, K_) in shapes.items():
+            pk = jax.jit(lambda: jax.random.bits(
+                jax.random.PRNGKey(0), (Lk, N, K_ // 2), jnp.uint8),
+                static_argnums=())()
+            sc = jnp.full((Lk, N, 1), 1e-3, jnp.float32)
+            x = jnp.asarray(rng.standard_normal((B, K_)), jnp.float32)
+
+            @jax.jit
+            def many_st(x, n, pk=pk, sc=sc, K_=K_):
+                def body(i, acc):
+                    y = Kr.quantized_matmul_w4a8_stacked(
+                        x + acc * 1e-30, pk, sc,
+                        jnp.remainder(i, Lk), 4)
+                    return acc + jnp.sum(y) * 1e-9
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            float(many_st(x, 1))
+            dt = slope(lambda n: float(many_st(x, n)), 32, 352)
+            gbs = (N * K_ // 2) / dt / 1e9
+            results[f"proj_{name}_stacked_us"] = round(dt * 1e6, 2)
+            print(f"# proj {name} stacked: {dt * 1e6:.1f} us "
+                  f"({gbs:.0f} GB/s packed)", file=sys.stderr, flush=True)
+
+            pk0, sc0 = pk[0], sc[0]
+
+            @jax.jit
+            def many_flat(x, n, pk0=pk0, sc0=sc0):
+                def body(i, acc):
+                    y = Kr.quantized_matmul_w4a8(
+                        x + acc * 1e-30, pk0, sc0, 4)
+                    return acc + jnp.sum(y) * 1e-9
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            float(many_flat(x, 1))
+            dt2 = slope(lambda n: float(many_flat(x, n)), 32, 352)
+            gbs2 = (N * K_ // 2) / dt2 / 1e9
+            results[f"proj_{name}_flat_us"] = round(dt2 * 1e6, 2)
+            print(f"# proj {name} flat:    {dt2 * 1e6:.1f} us "
+                  f"({gbs2:.0f} GB/s packed)", file=sys.stderr, flush=True)
+
     if "head" in phases:
         fused_ab("xla_stagedu_abf16_head", fk="xla", staged_kv="uniform",
                  attn_dots="bf16", head_pallas=True)
