@@ -461,13 +461,12 @@ def main():
             def many_st(x, n, pk=pk, sc=sc, K_=K_):
                 def body(i, acc):
                     y = Kr.quantized_matmul_w4a8_stacked(
-                        x + acc * 1e-30, pk, sc,
-                        jnp.remainder(i, Lk), 4)
+                        x + acc * 1e-30, pk, sc, jnp.int32(0), 4)
                     return acc + jnp.sum(y) * 1e-9
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
             float(many_st(x, 1))
-            dt = slope(lambda n: float(many_st(x, n)), 32, 352)
+            dt = slope(lambda n: float(many_st(x, n)), 16, 144)
             gbs = (N * K_ // 2) / dt / 1e9
             results[f"proj_{name}_stacked_us"] = round(dt * 1e6, 2)
             print(f"# proj {name} stacked: {dt * 1e6:.1f} us "
@@ -484,7 +483,7 @@ def main():
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
             float(many_flat(x, 1))
-            dt2 = slope(lambda n: float(many_flat(x, n)), 32, 352)
+            dt2 = slope(lambda n: float(many_flat(x, n)), 16, 144)
             gbs2 = (N * K_ // 2) / dt2 / 1e9
             results[f"proj_{name}_flat_us"] = round(dt2 * 1e6, 2)
             print(f"# proj {name} flat:    {dt2 * 1e6:.1f} us "
