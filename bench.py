@@ -342,6 +342,11 @@ def main():
                              "halves the VPU cost of converting the int8 "
                              "KV slabs (f32 accumulation either way; the "
                              "f32 path is the exactness twin)")
+    parser.add_argument("--attn-kernel", default="row",
+                        choices=["row", "ab"],
+                        help="flash decode-attention grid: 'row' (one "
+                             "batch row per program) or 'ab' (all-batch "
+                             "row slabs per program, (B*KVH)-batched dots)")
     parser.add_argument("--head-pallas",
                         action=argparse.BooleanOptionalAction, default=False,
                         help="serve the int8 lm_head with the Pallas "
@@ -460,7 +465,8 @@ def main():
                     mlp_kernel=args.mlp_kernel,
                     attn_o_kernel=args.attn_o_kernel and args.flash_attn,
                     attn_dots=args.attn_dots,
-                    head_pallas=args.head_pallas)
+                    head_pallas=args.head_pallas,
+                    attn_kernel=args.attn_kernel)
             elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
@@ -513,6 +519,7 @@ def main():
         ({"off": "", "on": "-staged", "uniform": "-stagedu"}[args.staged_kv]
          if args.flash_attn else "") + \
         ("-mlp" if args.mlp_kernel else "") + \
+        ("-ab" if (args.attn_kernel == "ab" and args.flash_attn) else "") + \
         ("-attno" if (args.attn_o_kernel and args.flash_attn) else "") + \
         ("-abf16" if (args.attn_dots == "bf16" and args.flash_attn) else "")
     print(json.dumps({

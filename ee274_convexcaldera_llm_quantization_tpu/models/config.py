@@ -62,9 +62,19 @@ TINY = ModelConfig(
     num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
     max_seq_len=128)
 
+# Tiny MHA config satisfying the persistent whole-layer kernel's support
+# constraints (MHA, head_dim 128, lane-aligned hidden/intermediate): lets
+# the megastep kernel be tested in interpret mode and chip-smoked at a
+# small scale.
+TINY_MHA = ModelConfig(
+    vocab_size=256, hidden_size=512, intermediate_size=1024,
+    num_layers=2, num_heads=4, num_kv_heads=4, head_dim=128,
+    max_seq_len=256)
+
 PRESETS = {
     "llama2-7b": LLAMA2_7B,
     "llama2-13b": LLAMA2_13B,
     "qwen2-0.5b": QWEN2_0_5B,
     "tiny": TINY,
+    "tiny-mha": TINY_MHA,
 }

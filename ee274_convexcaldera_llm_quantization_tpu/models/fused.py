@@ -386,7 +386,8 @@ def _attn_o_kernel_supported(params: FusedStackedParams,
 @functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "staged_kv",
                                     "mlp_kernel", "attn_o_kernel",
-                                    "attn_dots", "head_pallas"),
+                                    "attn_dots", "head_pallas",
+                                    "attn_kernel"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
@@ -394,7 +395,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       mlp_kernel: bool = False,
                       attn_o_kernel: bool = False,
                       attn_dots: str = "f32",
-                      head_pallas: bool = False):
+                      head_pallas: bool = False,
+                      attn_kernel: str = "row"):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
@@ -415,7 +417,15 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
     collapses to ONE full-batch column write per cache array (4 per step).
     Only ``pos[0]`` is honored; rows at other positions would be written
     at the wrong column.
+
+    ``attn_kernel`` (head-major caches, ``attn_o_kernel=False``): "row" —
+    the per-batch-row flash kernel; "ab" — the all-batch kernel
+    (:func:`ops.attention.flash_decode_q8_ab`), which attends every row's
+    token block in one program with (B * KVH)-batched dots. Same math to
+    f32 reduction order.
     """
+    if attn_kernel not in ("row", "ab"):
+        raise ValueError(f"unknown attn_kernel {attn_kernel!r}")
     quant_kv = isinstance(cache, QuantKVCache)
     head_major = isinstance(cache, HeadMajorQuantKVCache)
     B = tokens.shape[0]
@@ -432,6 +442,12 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                          "an MHA config (num_heads == num_kv_heads), and "
                          "an int8-factor w4a8 o_proj with lane-aligned "
                          "rank")
+    if attn_o_kernel and attn_dots != "f32":
+        # the fused attention+o megakernel is f32-only; silently dropping
+        # the requested dot dtype would misattribute any speed/quality
+        # difference to the wrong flag
+        raise ValueError("attn_o_kernel=True supports attn_dots='f32' "
+                         f"only, got {attn_dots!r}")
     x = params.embed[tokens].astype(jnp.float32)
     cos, sin = llama.rope_tables(config, pos[:, None])
     if head_major:
@@ -448,6 +464,10 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         dummy_new = jnp.zeros(
             (config.num_layers, B, config.num_kv_heads, config.head_dim),
             jnp.float32)
+    dummy_ab = None
+    if attn_kernel == "ab" and not staged_kv:
+        dummy_ab = jnp.zeros((B, config.num_kv_heads, config.head_dim),
+                             jnp.float32)
     if staged_kv:
         if not head_major:
             raise ValueError("staged_kv requires a HeadMajorQuantKVCache")
@@ -496,6 +516,11 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                     o.L, o.L_scale, num_bits=o.num_bits,
                     rank=o.L.shape[2], staged=True, interpret=interpret)
                 attn = None
+            elif attn_kernel == "ab":
+                attn = AT.flash_decode_q8_ab(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    kf, vf, l, pos, staged=True, interpret=interpret,
+                    dots=attn_dots).reshape(B, config.q_dim)
             else:
                 attn = AT.flash_decode_q8_staged(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
@@ -529,6 +554,12 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                     o.R, o.R_scale, o.L, o.L_scale, num_bits=o.num_bits,
                     rank=o.L.shape[2], staged=False, interpret=interpret)
                 attn = None
+            elif attn_kernel == "ab":
+                attn = AT.flash_decode_q8_ab(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    dummy_ab, dummy_ab, l, pos, staged=False,
+                    interpret=interpret,
+                    dots=attn_dots).reshape(B, config.q_dim)
             else:
                 attn = AT.flash_decode_q8(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
@@ -583,16 +614,41 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
         sk, sks, sv, svs = stg[:4]
         ck, cv, cks, cvs = cache
         if staged_kv == "uniform":
-            # lockstep batch: ONE full-batch column write per array
-            p0 = pos[0]
-            ck = jax.lax.dynamic_update_slice(
-                ck, sk[:, :, :, None, :], (0, 0, 0, p0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, sv[:, :, :, None, :], (0, 0, 0, p0, 0))
-            cks = jax.lax.dynamic_update_slice(
-                cks, sks[:, :, :, None], (0, 0, 0, p0))
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, svs[:, :, :, None], (0, 0, 0, p0))
+            # lockstep batch: ONE full-batch column write per array.
+            # Guard against misuse with ragged positions (which would
+            # write rows at the wrong column AND leave the right column
+            # stale): fall back to the per-row commit when positions are
+            # not actually uniform — correctness never depends on the
+            # caller honoring the lockstep contract, only speed does.
+            def _commit_uniform(ck, cv, cks, cvs):
+                p0 = pos[0]
+                return (
+                    jax.lax.dynamic_update_slice(
+                        ck, sk[:, :, :, None, :], (0, 0, 0, p0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cv, sv[:, :, :, None, :], (0, 0, 0, p0, 0)),
+                    jax.lax.dynamic_update_slice(
+                        cks, sks[:, :, :, None], (0, 0, 0, p0)),
+                    jax.lax.dynamic_update_slice(
+                        cvs, svs[:, :, :, None], (0, 0, 0, p0)))
+
+            def _commit_per_row(ck, cv, cks, cvs):
+                for b in range(B):
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, sk[:, b][:, None, :, None, :],
+                        (0, b, 0, pos[b], 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, sv[:, b][:, None, :, None, :],
+                        (0, b, 0, pos[b], 0))
+                    cks = jax.lax.dynamic_update_slice(
+                        cks, sks[:, b][:, None, :, None], (0, b, 0, pos[b]))
+                    cvs = jax.lax.dynamic_update_slice(
+                        cvs, svs[:, b][:, None, :, None], (0, b, 0, pos[b]))
+                return ck, cv, cks, cvs
+
+            ck, cv, cks, cvs = jax.lax.cond(
+                jnp.all(pos == pos[0]), _commit_uniform, _commit_per_row,
+                ck, cv, cks, cvs)
         else:
             # commit the staged K/V for all layers at once: one (L, 1,
             # KVH, 1, D) column write per batch row per array

@@ -194,7 +194,11 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
     once per step — same math as :func:`_flash_decode_q8_kernel` to f32
     rounding. The staged K/V come in PRE-DEQUANTIZED f32 ``(L, B, KVH, D)``
     (the same ``code * scale`` values the inline path would read back from
-    the cache — bit-identical): Mosaic rejects the (1, 1, KVH) f32 blocks a
+    the cache — matching the inline path to f32 rounding: the inline
+    kernel computes ``dot(q, code) * scale`` while this one computes
+    ``dot(q, code * scale)``, a different f32 rounding order, so the two
+    agree to ~1e-5 relative, not bitwise): Mosaic rejects the (1, 1, KVH)
+    f32 blocks a
     separate per-(layer, head) scale input would need (last dim must be a
     multiple of 128 or the full array), and at one token per step the f32
     staging costs only 2x the int8+scale bytes on a tiny array."""
@@ -275,7 +279,10 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
 
     Args (beyond flash_decode_q8): k_new/v_new (L, B, KVH, D) f32 — this
     step's DEQUANTIZED (``code * scale``) K/V per layer; passing the exact
-    dequantized values keeps the math bit-identical to the inline path.
+    dequantized values matches the inline path to f32 rounding (the
+    current-token update multiplies ``code * scale`` before the dot where
+    the inline kernel scales after it — same math, different f32 rounding
+    order; tests compare at rtol ~2e-5, not exact equality).
     The cache is expected to hold tokens ``< pos[b]`` only.
 
     ``k_new``/``v_new`` may be layer-stacked ``(L, B, KVH, D)`` (legacy —
@@ -341,6 +348,201 @@ def flash_decode_q8_staged(q: Array, k: Array, v: Array, ks: Array,
       q.astype(jnp.float32), k, ks.astype(jnp.float32), v,
       vs.astype(jnp.float32), k_new.astype(jnp.float32),
       v_new.astype(jnp.float32))
+    return out
+
+
+def _flash_decode_q8_ab_kernel(l_ref, pos_ref, lastb_ref, q_ref, k_ref,
+                               ks_ref, v_ref, vs_ref, kn_ref, vn_ref,
+                               posv_ref, o_ref, m_ref, s_ref, acc_ref, *,
+                               block_t: int, scale: float, staged: bool,
+                               dots: str = "f32"):
+    """All-batch flash decode: every program attends a ``(Bb, KVH)`` row
+    slab against ONE token block, with the logits / pv contractions batched
+    over the merged ``Bb * KVH`` axis.
+
+    Versus :func:`_flash_decode_q8_kernel` (grid ``(B, T/bt)``, one batch
+    row per program): the grid shrinks to ``(B/Bb, T/bt)`` programs whose
+    KV DMAs are ``Bb`` x larger (fewer, bigger HBM streams that pipeline
+    across the token axis) and whose dot/exp/mask vector ops run once per
+    slab instead of once per row. The online-softmax state for the whole
+    slab lives in one VMEM scratch, initialized per b-block at ``t == 0``.
+    Math is identical to the row kernel (and, when ``staged``, to
+    :func:`_flash_decode_q8_staged_kernel`) up to f32 reduction order.
+
+    ``posv_ref``: (Bb, KVH, 128) i32 — per-row positions pre-broadcast so
+    the mask compare is a pure vector op (scalar-prefetch ``pos_ref`` only
+    feeds the DMA-eliding index clamps and the per-slab ``live`` guard).
+    """
+    del l_ref, pos_ref
+    jb = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    Bb, KVH, G, D = q_ref.shape
+    BH = Bb * KVH
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cdt = jnp.bfloat16 if dots == "bf16" else jnp.float32
+    # per-row positions as a (BH, 1, 1) vector for the mask compare
+    posm = posv_ref[:].reshape(BH, 128)[:, :1][:, :, None]   # (BH, 1, 1)
+
+    @pl.when(t <= lastb_ref[jb])
+    def _compute():
+        q = q_ref[:].reshape(BH, G, D).astype(cdt)
+        k = k_ref[0].reshape(BH, block_t, D).astype(cdt)
+        ks = ks_ref[0].reshape(BH, block_t)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (BH, G, block_t)
+        logits = logits * (ks * scale)[:, None, :]
+
+        tok = t * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 2)
+        valid = (tok < posm) if staged else (tok <= posm)
+        logits = jnp.where(valid, logits, _NEG_INF)
+
+        m_prev = m_ref[:, :, :1]                      # (BH, G, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        # fully-masked slab rows (e.g. staged rows still at pos == 0 or
+        # rows whose live blocks ended before this one) leave m_new at the
+        # -inf sentinel; zero their probabilities explicitly
+        p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
+        s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+
+        v = v_ref[0].reshape(BH, block_t, D).astype(cdt)
+        vs = vs_ref[0].reshape(BH, block_t)
+        pv = (p * vs[:, None, :]).astype(cdt)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (BH, G, D)
+
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(t == nt - 1)
+    def _fin():
+        if staged:
+            # current token: one extra online-softmax update from the
+            # staged (dequantized) K/V for every slab row, then normalize
+            q = q_ref[:].reshape(BH, G, D)
+            kn = kn_ref[:].reshape(BH, D)
+            logit = jnp.sum(q * kn[:, None, :], axis=2,
+                            keepdims=True) * scale    # (BH, G, 1)
+            m_prev = m_ref[:, :, :1]
+            m_new = jnp.maximum(m_prev, logit)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logit - m_new)
+            s = s_ref[:, :, :1] * alpha + p
+            vn = vn_ref[:].reshape(BH, D)
+            out = (acc_ref[:] * alpha + p * vn[:, None, :]) / s
+        else:
+            out = acc_ref[:] / s_ref[:, :, :1]
+        o_ref[:] = out.reshape(Bb, KVH, G, D)
+
+
+def _ab_blocks(B: int, KVH: int, D: int, T: int, block_t: int,
+               slab_budget: int = 2 << 20):
+    """Pick (Bb, block_t) for the all-batch kernel: the largest row-slab
+    whose int8 K block stays under ``slab_budget`` bytes (double-buffered
+    K + V then cost <= 4x that). ``block_t`` must be a multiple of 128 (or
+    the full T): the per-(token, head) scale blocks have ``block_t`` as
+    their LAST dim, and Mosaic requires last dims to be 128-divisible or
+    the full array dim."""
+    block_t = min(block_t, T)
+    if T <= 128 or T % 128:
+        bt = T                       # single block: full-dim blocks pass
+    else:
+        bt = max(128, block_t - block_t % 128)
+        while T % bt:
+            bt -= 128
+        while bt > 128 and B * KVH * bt * D > slab_budget:
+            nbt = bt - 128
+            while T % nbt:
+                nbt -= 128
+            if nbt < 128:
+                break
+            bt = nbt
+    Bb = B
+    while Bb > 1 and Bb * KVH * bt * D > slab_budget:
+        Bb = max(d for d in range(1, Bb) if B % d == 0)
+    return Bb, bt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("staged", "block_t", "interpret",
+                                    "dots"))
+def flash_decode_q8_ab(q: Array, k: Array, v: Array, ks: Array, vs: Array,
+                       k_new: Array, v_new: Array, layer: Array, pos: Array,
+                       staged: bool = False, block_t: int = 64,
+                       interpret: bool = False, dots: str = "f32") -> Array:
+    """All-batch variant of :func:`flash_decode_q8` /
+    :func:`flash_decode_q8_staged` (selected by ``staged``).
+
+    Same arguments and semantics; ``k_new``/``v_new`` are the CURRENT
+    layer's ``(B, KVH, D)`` dequantized K/V when ``staged`` (ignored
+    otherwise — pass any (B, KVH, D) f32 array). Matches the row kernels
+    to f32 reduction order. ``block_t`` is a cap; the actual slab shape is
+    chosen by :func:`_ab_blocks` to bound VMEM.
+    """
+    B, KVH, G, D = q.shape
+    T = k.shape[3]
+    Bb, block_t = _ab_blocks(B, KVH, D, T, block_t)
+    nb, nt = B // Bb, T // block_t
+    scale = 1.0 / (D ** 0.5)
+
+    # last live token block per row slab (clamps the KV index maps so
+    # Mosaic elides DMAs past it; also the in-kernel compute skip)
+    last_row = (jnp.maximum(pos - 1, 0) if staged else pos) // block_t
+    lastb = jnp.max(last_row.reshape(nb, Bb), axis=1).astype(jnp.int32)
+    posv = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32)[:, None, None], (B, KVH, 128))
+
+    def _kv_idx(b, t, L, P, LB):
+        return (L[0], b, 0, jnp.minimum(t, LB[b]), 0)
+
+    def _sc_idx(b, t, L, P, LB):
+        return (L[0], b, 0, jnp.minimum(t, LB[b]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((Bb, KVH, G, D), lambda b, t, L, P, LB: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Bb, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, Bb, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, Bb, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, Bb, KVH, block_t), _sc_idx),
+            pl.BlockSpec((Bb, KVH, D), lambda b, t, L, P, LB: (b, 0, 0)),
+            pl.BlockSpec((Bb, KVH, D), lambda b, t, L, P, LB: (b, 0, 0)),
+            pl.BlockSpec((Bb, KVH, 128), lambda b, t, L, P, LB: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Bb, KVH, G, D),
+                               lambda b, t, L, P, LB: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Bb * KVH, G, 128), jnp.float32),   # running max
+            pltpu.VMEM((Bb * KVH, G, 128), jnp.float32),   # running sum
+            pltpu.VMEM((Bb * KVH, G, D), jnp.float32),     # output acc
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_q8_ab_kernel, block_t=block_t,
+                          scale=scale, staged=staged, dots=dots),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(pos, jnp.int32), lastb,
+      q.astype(jnp.float32), k, ks.astype(jnp.float32), v,
+      vs.astype(jnp.float32), k_new.astype(jnp.float32),
+      v_new.astype(jnp.float32), posv)
     return out
 
 

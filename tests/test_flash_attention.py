@@ -209,6 +209,105 @@ class TestFlashDecodeStaged:
         np.testing.assert_array_equal(np.asarray(ca2.v), np.asarray(cb2.v))
 
 
+class TestFlashDecodeAllBatch:
+    @pytest.mark.parametrize("B,KVH,G,D,T", [
+        (4, 2, 1, 32, 64),      # MHA
+        (2, 2, 2, 32, 64),      # GQA
+        (8, 2, 1, 128, 256),    # full lanes, multi b-block candidates
+    ])
+    def test_inline_matches_xla_twin(self, B, KVH, G, D, T):
+        L = 3
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, KVH, G, D),
+                              jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(1), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray(
+            np.random.default_rng(2).integers(0, T, size=B), jnp.int32)
+        layer = jnp.asarray(1, jnp.int32)
+        ref = AT.flash_decode_q8_xla(q, k, v, ksc, vsc, layer, pos)
+        dummy = jnp.zeros((B, KVH, D), jnp.float32)
+        out = AT.flash_decode_q8_ab(q, k, v, ksc, vsc, dummy, dummy,
+                                    layer, pos, staged=False,
+                                    block_t=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_staged_matches_row_staged(self):
+        L, B, KVH, G, D, T = 2, 4, 2, 2, 32, 64
+        q = jax.random.normal(jax.random.PRNGKey(5), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(6), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([0, 17, 40, 63], jnp.int32)
+        kn = jax.random.normal(jax.random.PRNGKey(7), (B, KVH, D))
+        vn = jax.random.normal(jax.random.PRNGKey(8), (B, KVH, D))
+        layer = jnp.asarray(1, jnp.int32)
+        ref = AT.flash_decode_q8_staged(q, k, v, ksc, vsc, kn, vn, layer,
+                                        pos, block_t=32, interpret=True)
+        out = AT.flash_decode_q8_ab(q, k, v, ksc, vsc, kn, vn, layer, pos,
+                                    staged=True, block_t=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_slab_shape_picker_bounds_vmem(self):
+        # the chosen (Bb, bt) must divide (B, T), satisfy the Mosaic
+        # last-dim rule (bt % 128 == 0 or bt == T), and keep the int8 K
+        # slab under the budget whenever any compliant shape can
+        for B, KVH, D, T in [(8, 32, 128, 256), (32, 32, 128, 2048),
+                             (1, 2, 64, 64), (8, 40, 128, 4096),
+                             (4, 2, 32, 48)]:
+            Bb, bt = AT._ab_blocks(B, KVH, D, T, 64)
+            assert B % Bb == 0 and T % bt == 0
+            assert bt % 128 == 0 or bt == T
+            if B * KVH * max(128, bt) * D > 2 << 20:
+                assert Bb * KVH * bt * D <= 2 << 20 or Bb == 1
+
+    def test_decode_step_ab_matches_row(self):
+        cfg = TINY
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        from ee274_convexcaldera_llm_quantization_tpu.models import (
+            compressed, stacked)
+        from ee274_convexcaldera_llm_quantization_tpu.models.llama import (
+            LayerParams)
+
+        def conv(lp):
+            fields = {}
+            for name in LayerParams._fields:
+                lin = getattr(lp, name)
+                if isinstance(lin, compressed.DenseLinear) and \
+                        not name.endswith("_norm"):
+                    fields[name] = compressed.compress_linear(
+                        lin.w.astype(jnp.float32) * 0.9,
+                        0.1 * jnp.eye(lin.w.shape[0], 8),
+                        0.1 * jnp.eye(8, lin.w.shape[1]), 4, mode="w4a8",
+                        bias=lin.b)
+                else:
+                    fields[name] = lin
+            return LayerParams(**fields)
+
+        model = llama.ModelParams(
+            embed=params.embed, layers=[conv(lp) for lp in params.layers],
+            final_norm=params.final_norm, lm_head=params.lm_head)
+        sp = stacked.stack_layers(model)
+        fp = fusedm.quantize_factors_int8_fused(fusedm.fuse_stacked(sp))
+        toks = jnp.asarray([1, 5], jnp.int32)
+        pos = jnp.asarray([3, 6], jnp.int32)
+        for staged in (False, True, "uniform"):
+            p = jnp.full((2,), 6, jnp.int32) if staged == "uniform" else pos
+            ca = llama.HeadMajorQuantKVCache.create(cfg, 2, 16)
+            cb = llama.HeadMajorQuantKVCache.create(cfg, 2, 16)
+            la, ca2 = fusedm.decode_step_fused(
+                fp, toks, p, ca, cfg, interpret=True, staged_kv=staged)
+            lb, cb2 = fusedm.decode_step_fused(
+                fp, toks, p, cb, cfg, interpret=True, staged_kv=staged,
+                attn_kernel="ab")
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(ca2.k),
+                                          np.asarray(cb2.k))
+            assert (np.argmax(np.asarray(la), -1)
+                    == np.argmax(np.asarray(lb), -1)).all()
+
+
 class TestFlashPrefillKernel:
     @pytest.mark.parametrize("B,KVH,G,D,S,bq,bk", [
         (2, 2, 1, 32, 64, 16, 16),     # MHA, multiple k blocks per q block
