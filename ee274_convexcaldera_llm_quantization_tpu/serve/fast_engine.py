@@ -44,12 +44,21 @@ class FastServingEngine(ServingEngine):
     def __init__(self, params, config: ModelConfig, max_slots: int = 8,
                  max_seq_len=None, interpret: bool = False, seed: int = 0,
                  kv_int8: bool = False, flash_attn: bool = False,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, staged_kv=None,
+                 attn_kernel: str = "row", mlp_kernel: bool = False):
         super().__init__(params, config, max_slots=max_slots,
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
         self._fused = isinstance(params, fused.FusedStackedParams)
         self._flash = flash_attn
+        # staged KV writes default ON with the flash head-major cache:
+        # each layer's new K/V is staged and committed once per step (the
+        # ragged-safe staged_kv=True variant — continuous batching decodes
+        # at per-slot positions, so the "uniform" lockstep commit does not
+        # apply; its runtime guard would fall back every step anyway)
+        self._staged = bool(flash_attn) if staged_kv is None else staged_kv
+        self._attn_kernel = attn_kernel
+        self._mlp_kernel = mlp_kernel
         self._chunk = int(prefill_chunk)
         self._prefilling = {}           # slot -> [req, next_offset]
         if self._chunk:
@@ -138,16 +147,22 @@ class FastServingEngine(ServingEngine):
                 self._prefilling[slot][1] = end
 
     def _decode(self) -> None:
-        decode_fn = (fused.decode_step_fused if self._fused
-                     else stacked.decode_step_w4a8)
         tokens = np.zeros(self.max_slots, np.int32)
         pos = np.zeros(self.max_slots, np.int32)
         for s, st in self.slots.items():
             tokens[s] = st.generated[-1]
             pos[s] = st.pos
-        logits, self.cache = decode_fn(
-            self.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache,
-            self.config, interpret=self.interpret)
+        if self._fused:
+            logits, self.cache = fused.decode_step_fused(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
+                self.cache, self.config, interpret=self.interpret,
+                staged_kv=self._staged if self._flash else False,
+                attn_kernel=self._attn_kernel if self._flash else "row",
+                mlp_kernel=self._mlp_kernel)
+        else:
+            logits, self.cache = stacked.decode_step_w4a8(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
+                self.cache, self.config, interpret=self.interpret)
         temps = np.zeros(self.max_slots, np.float32)
         ks = np.zeros(self.max_slots, np.int32)
         ps = np.ones(self.max_slots, np.float32)

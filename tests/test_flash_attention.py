@@ -485,6 +485,47 @@ class TestFusedHeadMajor:
         assert sorted(c.uid for c in done) == [0, 1]
         assert all(len(c.tokens) == 5 for c in done)
 
+    def test_fast_engine_decode_is_staged_step(self, fused_params):
+        # A/B contract: the engine's decode tick must equal a direct
+        # decode_step_fused(staged_kv=True) call EXACTLY (same code path),
+        # so kernel wins plumbed through decode_step_fused reach serving
+        from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
+            Request)
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine \
+            import FastServingEngine
+        from ee274_convexcaldera_llm_quantization_tpu.models import fused
+
+        rng = np.random.default_rng(7)
+        eng = FastServingEngine(fused_params, TINY, max_slots=2,
+                                max_seq_len=32, interpret=True,
+                                flash_attn=True)
+        assert eng._staged is True
+        for uid in range(2):
+            eng.submit(Request(uid=uid,
+                               prompt=rng.integers(0, TINY.vocab_size,
+                                                   size=4 + 3 * uid),
+                               max_new_tokens=4, temperature=0.0))
+        eng._admit()
+        # snapshot pre-decode state, run one engine tick, and replay it
+        # manually through the staged fused step
+        tokens = np.zeros(eng.max_slots, np.int32)
+        pos = np.zeros(eng.max_slots, np.int32)
+        for s, st in eng.slots.items():
+            tokens[s] = st.generated[-1]
+            pos[s] = st.pos
+        snap = jax.tree.map(jnp.array, eng.cache)
+        eng._decode()
+        ref_logits, ref_cache = fused.decode_step_fused(
+            fused_params, jnp.asarray(tokens), jnp.asarray(pos), snap,
+            TINY, interpret=True, staged_kv=True)
+        exp = {s: int(t) for s, t in
+               enumerate(np.argmax(np.asarray(ref_logits), -1))
+               if s in eng.slots}
+        got = {s: st.generated[-1] for s, st in eng.slots.items()}
+        assert got == exp
+        np.testing.assert_array_equal(np.asarray(eng.cache.k),
+                                      np.asarray(ref_cache.k))
+
     def test_fast_engine_flash_requires_fused(self):
         from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
             FastServingEngine)
