@@ -210,7 +210,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
 
         x = x_ref[:]
         var = jnp.mean(x * x, axis=1, keepdims=True)
-        y = x * jax.lax.rsqrt(var + eps) * an_ref[0][None, :]
+        y = x * jax.lax.rsqrt(var + eps) * an_ref[0]
         x8, sx, rs = _quantize_rows(y)
         y8_ref[:, :x8.shape[1]] = x8
         sy_ref[:] = jnp.broadcast_to(sx, sy_ref.shape)
@@ -225,9 +225,8 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         c = p - P.p_xrq
         col = pl.multiple_of(c * P.rchunk, P.rchunk)
         xc = x_ref[:, pl.ds(col, P.rchunk)]
-        anc = an_ref[0, pl.ds(col, P.rchunk)]
-        y = (xc * jax.lax.rsqrt(var + eps)
-             * anc[None, :]).astype(jnp.bfloat16)
+        anc = an_ref[0, :, pl.ds(col, P.rchunk)]          # (1, rchunk)
+        y = (xc * jax.lax.rsqrt(var + eps) * anc).astype(jnp.bfloat16)
         Rc = (qR_ref[0].astype(jnp.float32)
               .astype(jnp.bfloat16))                    # (3r, rchunk)
         xr = jax.lax.dot_general(
@@ -325,9 +324,14 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                 q = qkv_ref[:, pl.ds(qcol, D)]          # (TM, D) f32
                 k = kc_ref[0, :, i].astype(jnp.float32)  # (B, bt, D)
                 ks = ksc_ref[0, :, i]                    # (B, bt)
+                # Mosaic's dot lowering needs a free dim on BOTH operands
+                # (a rank-2 lhs with batch+contract only fails to parse);
+                # give q a unit free dim and drop it after
                 logits = jax.lax.dot_general(
-                    q[:B], k, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32) * (ks * scale)
+                    q[:B][:, None, :], k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0]
+                logits = logits * (ks * scale)
                 logits = jnp.where(valid[:B], logits, _NEG_INF)
                 m_prev = jnp.max(
                     jnp.where(colsel, msc_ref[:], _NEG_INF),
@@ -344,8 +348,9 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                 vs = vsc_ref[0, :, i]
                 pvv = pv * vs
                 upd = jax.lax.dot_general(
-                    pvv, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)      # (B, D)
+                    pvv[:, None, :], v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0]  # (B, D)
                 acc_old = qkv_ref[:, pl.ds(qdim + qcol, D)]
                 accB = acc_old[:B] * alpha + upd
                 qkv_ref[:, pl.ds(qdim + qcol, D)] = jnp.concatenate(
@@ -424,7 +429,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
     def _mlp():
         x = x_ref[:]
         var = jnp.mean(x * x, axis=1, keepdims=True)
-        y = x * jax.lax.rsqrt(var + eps) * mn_ref[0][None, :]
+        y = x * jax.lax.rsqrt(var + eps) * mn_ref[0]
         x8, sx, rs = _quantize_rows(y)
         y8_ref[:, :x8.shape[1]] = x8
         sy_ref[:] = jnp.broadcast_to(sx, sy_ref.shape)
@@ -440,9 +445,8 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         c = p - P.p_xrg
         col = pl.multiple_of(c * P.rchunk, P.rchunk)
         xc = x_ref[:, pl.ds(col, P.rchunk)]
-        mnc = mn_ref[0, pl.ds(col, P.rchunk)]
-        y = (xc * jax.lax.rsqrt(var + eps)
-             * mnc[None, :]).astype(jnp.bfloat16)
+        mnc = mn_ref[0, :, pl.ds(col, P.rchunk)]          # (1, rchunk)
+        y = (xc * jax.lax.rsqrt(var + eps) * mnc).astype(jnp.bfloat16)
         Rc = gR_ref[0].astype(jnp.float32).astype(jnp.bfloat16)  # (2r, rc)
         xr = jax.lax.dot_general(
             y, Rc, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -595,9 +599,6 @@ def megastep(x0: Array, pos: Array,
     def _const2(l, p, *_):
         return (0, 0)
 
-    def _norm_a(l, p, *_):
-        return (l, 0)
-
     def _qkv_j(l, p, *_):
         return jnp.clip(p - P.p_qkv, 0, P.nqkv - 1)
 
@@ -666,8 +667,11 @@ def megastep(x0: Array, pos: Array,
         grid=(Lk, P.P),
         in_specs=[
             pl.BlockSpec((TM, h), _const2),                       # x0
-            pl.BlockSpec((1, h), _norm_a),                        # attn_norm
-            pl.BlockSpec((1, h), _norm_a),                        # mlp_norm
+            # norms ride as (L, 1, h): a (1, h) block of (L, h) violates
+            # the Mosaic second-minor rule (1 is neither 8-divisible nor
+            # the full L dim); with the unit axis it IS the full dim
+            pl.BlockSpec((1, 1, h), lambda l, p, *_: (l, 0, 0)),  # attn_norm
+            pl.BlockSpec((1, 1, h), lambda l, p, *_: (l, 0, 0)),  # mlp_norm
             pl.BlockSpec((1, P.bnq, P.plane_q),
                          lambda l, p, *_: (l, _qkv_j(l, p), 0)),  # qw
             pl.BlockSpec((1, P.bnq, 1),
@@ -760,7 +764,8 @@ def megastep(x0: Array, pos: Array,
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32), lastb,
       gs_all.astype(jnp.float32),
-      x0p, attn_norm.astype(jnp.float32), mlp_norm.astype(jnp.float32),
+      x0p, attn_norm.astype(jnp.float32)[:, None, :],
+      mlp_norm.astype(jnp.float32)[:, None, :],
       qkv_packed, qkv_scales.astype(jnp.float32), qkv_R,
       qkv_Rs.astype(jnp.float32), qkv_L, qkv_Ls.astype(jnp.float32),
       cosf, sinf, Prot,

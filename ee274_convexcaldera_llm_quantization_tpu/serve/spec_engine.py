@@ -46,7 +46,9 @@ class SpeculativeServingEngine(FastServingEngine):
 
     def __init__(self, params, draft_params, config: ModelConfig,
                  draft_config: Optional[ModelConfig] = None, gamma: int = 4,
-                 draft_kv_int8: bool = False, **kw):
+                 draft_kv_int8: bool = False, adaptive: bool = True,
+                 draft_cost: Optional[float] = None,
+                 probe_every: int = 16, **kw):
         super().__init__(params, config, **kw)
         if not self._fused:
             raise ValueError("SpeculativeServingEngine requires fused "
@@ -58,6 +60,60 @@ class SpeculativeServingEngine(FastServingEngine):
                    else llama.KVCache).create
         self.draft_cache = factory(self.draft_config, self.max_slots,
                                    self.max_seq_len)
+        # --- adaptive gamma ------------------------------------------------
+        # Round 2 measured the speedup knife edge: below ~0.31 acceptance
+        # a speculative round LOSES to plain decode (down to 0.45x at
+        # acceptance 0), and at temperature 0 any draft/target mismatch
+        # drives acceptance to exactly 0. The engine therefore tunes gamma
+        # online from its own acceptance telemetry: each round it updates
+        # an EWMA of per-token acceptance and picks the gamma maximizing
+        # the modeled committed-tokens-per-cost
+        #     E[commit | a, g] / (1 + draft_cost * g)
+        # with E[commit] = (1 - a^(g+1)) / (1 - a) (iid acceptance), over
+        # g in {0..gamma}; g = 0 means a plain decode tick. When disabled
+        # it re-probes with one speculative round every ``probe_every``
+        # ticks so a recovering draft can re-enable itself.
+        self.adaptive = bool(adaptive)
+        if draft_cost is None:
+            draft_cost = (self.draft_config.num_layers
+                          / max(config.num_layers, 1))
+        self.draft_cost = float(draft_cost)
+        self.probe_every = int(probe_every)
+        self.accept_ewma = None          # per-token acceptance estimate
+        self.gamma_current = self.gamma
+        self._ticks_since_spec = 0
+
+    def _sync_draft_positions(self) -> None:
+        """Keep the draft cache current during plain-decode fallback: one
+        draft decode step writes this tick's K/V at each slot's position
+        (logits discarded). Costs ``draft_cost`` of a tick — the price of
+        keeping the re-enable probe meaningful (a stale draft cache would
+        make every probe read garbage and measure acceptance 0 forever).
+        """
+        tokens = np.zeros(self.max_slots, np.int32)
+        pos = np.zeros(self.max_slots, np.int32)
+        for s, st in self.slots.items():
+            # _decode already appended this tick's token and bumped pos;
+            # the draft must write K/V for the PREVIOUS token at pos - 1
+            tokens[s] = st.generated[-2] if len(st.generated) > 1 \
+                else st.generated[-1]
+            pos[s] = max(st.pos - 1, 0)
+        _, self.draft_cache = speculative._draft_decode(
+            self.draft_params, jnp.asarray(tokens), jnp.asarray(pos),
+            self.draft_cache, self.draft_config, self.interpret)
+
+    def _best_gamma(self) -> int:
+        """argmax_g committed-per-cost under the current acceptance EWMA."""
+        if self.accept_ewma is None:
+            return self.gamma
+        a = min(max(self.accept_ewma, 0.0), 0.999)
+        best_g, best_rate = 0, 1.0       # plain decode: 1 token / 1 cost
+        for g in range(1, self.gamma + 1):
+            commit = (1 - a ** (g + 1)) / (1 - a)
+            rate = commit / (1.0 + self.draft_cost * g)
+            if rate > best_rate * 1.02:  # hysteresis: switch on >2% gain
+                best_g, best_rate = g, rate
+        return best_g
         self.spec_rounds = 0
         self.accepted_tokens = 0
 
@@ -98,6 +154,23 @@ class SpeculativeServingEngine(FastServingEngine):
             self._maybe_finish(slot)
 
     def _decode(self) -> None:
+        gamma = self.gamma
+        if self.adaptive:
+            gamma = self.gamma_current
+            if gamma == 0:
+                # speculation disabled by telemetry: plain decode ticks,
+                # with a periodic speculative probe to re-measure
+                self._ticks_since_spec += 1
+                if self._ticks_since_spec < self.probe_every:
+                    # NOTE: the target cache is shared between the plain
+                    # step and verify steps (same layout), so falling back
+                    # is free; the draft cache goes stale and is refreshed
+                    # by the probe round's draft prefix re-decode
+                    super()._decode()
+                    self._sync_draft_positions()
+                    return
+                gamma = 1                 # cheapest probe round
+                self._ticks_since_spec = 0
         tokens = np.zeros(self.max_slots, np.int32)
         pos = np.zeros(self.max_slots, np.int32)
         temps = np.zeros(self.max_slots, np.float32)
@@ -115,10 +188,17 @@ class SpeculativeServingEngine(FastServingEngine):
                 self.params, self.draft_params, jnp.asarray(tokens),
                 jnp.asarray(pos), self.cache, self.draft_cache, sub,
                 jnp.asarray(temps), jnp.asarray(ks), jnp.asarray(ps),
-                self.config, self.draft_config, gamma=self.gamma,
+                self.config, self.draft_config, gamma=gamma,
                 interpret=self.interpret)
         out_h = np.asarray(out)
         n_h = np.asarray(n_new)
+        if self.adaptive and self.slots:
+            acc = float(np.mean([(int(n_h[s]) - 1) / gamma
+                                 for s in self.slots]))
+            beta = 0.7
+            self.accept_ewma = acc if self.accept_ewma is None else \
+                beta * self.accept_ewma + (1 - beta) * acc
+            self.gamma_current = self._best_gamma()
         for s in list(self.slots):
             st = self.slots[s]
             req = st.req

@@ -159,3 +159,19 @@ class TestCLI:
         capsys.readouterr()
         params, config = load_params(out)
         assert config == TINY
+
+
+class TestHeadlineDrift:
+    def test_readme_headline_matches_headline_json(self):
+        """README (and any doc listed in HEADLINE.json) must carry the
+        generated headline block — stale numbers fail the suite (rounds 1
+        AND 2 shipped READMEs contradicting the measurement records)."""
+        import os
+        import subprocess
+        import sys
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "scripts",
+                                          "gen_headline.py"), "--check"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr

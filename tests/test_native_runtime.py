@@ -16,6 +16,34 @@ from ee274_convexcaldera_llm_quantization_tpu.models import llama
 from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
 
 
+class TestAsanSoak:
+    """Randomized multi-tenant soak of the whole C API under
+    AddressSanitizer (VERDICT round 2: the prefix-cache heap overflow hid
+    for a full round inside green unit tests — memory errors must fail
+    loudly in-suite, not corrupt silently)."""
+
+    def test_soak_asan_clean(self, tmp_path):
+        import shutil
+        import subprocess
+        import os
+        gxx = shutil.which("g++")
+        if gxx is None:
+            pytest.skip("g++ not available")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        binary = str(tmp_path / "ccq_soak")
+        subprocess.check_call(
+            [gxx, "-O1", "-g", "-fsanitize=address", "-std=c++17",
+             os.path.join(root, "runtime", "ccq_runtime.cpp"),
+             os.path.join(root, "runtime", "soak_main.cpp"),
+             "-o", binary])
+        for seed in (1234, 7):
+            out = subprocess.run([binary, "30000", str(seed)],
+                                 capture_output=True, text=True,
+                                 timeout=300)
+            assert out.returncode == 0, (out.stdout, out.stderr)
+            assert "SOAK OK" in out.stdout
+
+
 class TestPageAllocator:
     def test_create_and_page_accounting(self):
         a = PageAllocator(num_pages=10, page_size=4)

@@ -18,13 +18,17 @@ from ee274_convexcaldera_llm_quantization_tpu.serve import (
     sampling, speculative as spec)
 
 
-@pytest.fixture(scope="module")
-def target():
-    params = llama.init_params(jax.random.PRNGKey(0), TINY)
+def _build_target(seed=0):
+    params = llama.init_params(jax.random.PRNGKey(seed), TINY)
     cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=8, iters=1,
                        lplr_iters=1)
     qparams, _ = compress_model(params, cp, serving_mode="w4a8")
     return fusedm.fuse_stacked(stacked.stack_layers(qparams))
+
+
+@pytest.fixture(scope="module")
+def target():
+    return _build_target(seed=0)
 
 
 def _prompts(B, S, seed=3):
@@ -283,12 +287,57 @@ class TestSpecEngine:
             SpeculativeServingEngine)
         eng = SpeculativeServingEngine(target, target, TINY, TINY,
                                        gamma=2, max_slots=2, max_seq_len=64,
-                                       interpret=True)
+                                       interpret=True, adaptive=False)
         for r in self._requests(n=2, max_new=9):
             eng.submit(r)
         eng.run()
         # a perfect draft accepts every proposal in every round
         assert eng.accepted_tokens == eng.spec_rounds * 2
+
+    def test_adaptive_disables_on_zero_acceptance(self, target):
+        # adversarial draft (different random weights): greedy acceptance
+        # is the knife-edge 0 case that round 2 measured at 0.45x plain
+        # throughput. The adaptive engine must (a) still emit the EXACT
+        # greedy stream, (b) turn speculation off after the EWMA converges
+        # so most ticks are plain decode steps.
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine \
+            import FastServingEngine
+        from ee274_convexcaldera_llm_quantization_tpu.serve.spec_engine \
+            import SpeculativeServingEngine
+        bad_target = _build_target(seed=99)
+        bad_draft, dconfig = spec.truncate_draft(bad_target, TINY, 1)
+
+        ref = FastServingEngine(target, TINY, max_slots=2, max_seq_len=64,
+                                interpret=True)
+        for r in self._requests(n=2, max_new=12):
+            ref.submit(r)
+        ref_out = {c.uid: c.tokens for c in ref.run()}
+
+        eng = SpeculativeServingEngine(target, bad_draft, TINY, dconfig,
+                                       gamma=3, max_slots=2, max_seq_len=64,
+                                       interpret=True, probe_every=50)
+        for r in self._requests(n=2, max_new=12):
+            eng.submit(r)
+        out = {c.uid: c.tokens for c in eng.run()}
+        assert out == ref_out                     # exactness preserved
+        assert eng.gamma_current == 0             # speculation disabled
+        assert eng.accept_ewma is not None and eng.accept_ewma < 0.1
+        # after disabling, ticks are plain: far fewer spec rounds than
+        # tokens were generated
+        assert eng.spec_rounds < eng.tokens_generated / 2
+
+    def test_adaptive_keeps_gamma_on_good_draft(self, target):
+        from ee274_convexcaldera_llm_quantization_tpu.serve.spec_engine \
+            import SpeculativeServingEngine
+        eng = SpeculativeServingEngine(target, target, TINY, TINY,
+                                       gamma=2, max_slots=2, max_seq_len=64,
+                                       interpret=True, draft_cost=0.1)
+        for r in self._requests(n=2, max_new=9):
+            eng.submit(r)
+        eng.run()
+        # perfect draft + cheap draft cost: speculation stays at max gamma
+        assert eng.gamma_current == 2
+        assert eng.accept_ewma > 0.9
 
 
 class TestHelpers:
