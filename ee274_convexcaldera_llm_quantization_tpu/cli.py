@@ -55,7 +55,8 @@ def cmd_compress(args):
     hessians = load_hessians(args.hessians) if args.hessians else None
     cp = CalderaParams(Q_bits=args.q_bits, L_bits=args.l_bits,
                        R_bits=args.r_bits, rank=args.rank, iters=args.iters,
-                       lplr_iters=args.lplr_iters)
+                       lplr_iters=args.lplr_iters,
+                       q_update=getattr(args, "q_update", "rtn"))
     serving_quant = getattr(args, "serving_quant", "uniform")
     if serving_quant == "e8p":
         from ee274_convexcaldera_llm_quantization_tpu.quant.quantizers import (
@@ -198,6 +199,9 @@ def main(argv=None):
     p.add_argument("--error-threshold", type=float, default=0.99)
     p.add_argument("--serving-mode", default="grouped",
                    choices=["grouped", "w4a8"])
+    p.add_argument("--q-update", default="rtn", choices=["rtn", "ldlq"],
+                   help="Q-update rule: round-to-nearest (reference "
+                        "behavior, alg.py:253-283) or LDLQ error feedback")
     p.add_argument("--serving-quant", default="uniform",
                    choices=["uniform", "e8p"],
                    help="e8p: 2-bit E8 lattice codebook served via the "

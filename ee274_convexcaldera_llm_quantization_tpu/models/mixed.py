@@ -61,6 +61,14 @@ class MixedProjection:
     buckets: Tuple[object, ...]
     bucket_of: Array              # (num_layers,) int32
     index_in: Array               # (num_layers,) int32
+    # static copies of the bucket maps: the segmented decode path
+    # (decode_step_mixed_segmented) partitions the layer sequence into
+    # uniform-width runs at TRACE time, which needs the values as Python
+    # ints, not traced arrays
+    bucket_of_static: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
+    index_in_static: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
 
 class MixedLayerStack(NamedTuple):
@@ -117,8 +125,11 @@ def _build_projection(lins) -> MixedProjection:
     members = {k: [lin for lin, kk in zip(lins, keys) if kk == k]
                for k in order}
     buckets = tuple(_stack_lins(members[k]) for k in order)
-    return MixedProjection(buckets=buckets, bucket_of=bucket_of,
-                           index_in=jnp.asarray(index_in, jnp.int32))
+    return MixedProjection(
+        buckets=buckets, bucket_of=bucket_of,
+        index_in=jnp.asarray(index_in, jnp.int32),
+        bucket_of_static=tuple(order.index(k) for k in keys),
+        index_in_static=tuple(index_in))
 
 
 def stack_layers_mixed(params: ModelParams) -> MixedStackedParams:
@@ -280,6 +291,126 @@ def decode_step_mixed(params: MixedStackedParams, tokens: Array, pos: Array,
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))
+    logits = llama._logits(
+        x[:, None, :],
+        ModelParams(params.embed, [], params.final_norm, params.lm_head),
+        config, False, interpret)
+    return logits[:, 0, :], cache
+
+
+_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+               "up_proj", "down_proj")
+
+
+def mixed_segments(layers: MixedLayerStack, num_layers: int):
+    """Partition the layer sequence into maximal contiguous runs whose
+    per-projection bucket signature is constant. Returns a list of
+    ``(start, end, {proj_name: bucket_id})``."""
+    sigs = []
+    for l in range(num_layers):
+        sigs.append(tuple(
+            getattr(layers, n).bucket_of_static[l] for n in _PROJ_NAMES))
+    runs = []
+    start = 0
+    for l in range(1, num_layers + 1):
+        if l == num_layers or sigs[l] != sigs[start]:
+            runs.append((start, l,
+                         dict(zip(_PROJ_NAMES, sigs[start]))))
+            start = l
+    return runs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
+                                pos: Array, cache, config: ModelConfig,
+                                interpret: bool = False):
+    """Mixed-precision decode WITHOUT per-layer ``lax.switch``.
+
+    Round 2 measured the switch dispatch at ~14 roofline points on the
+    13B mixed config (39% vs 59% uniform): the per-layer branch blocks
+    XLA from overlapping weight-slab DMA across the switch boundary. The
+    bit allocator's depth-smooth profiles make per-layer widths BLOCKY,
+    so the layer sequence splits into a handful of contiguous runs of
+    constant bucket signature (``mixed_segments``); each run decodes
+    through a plain ``fori_loop`` with its buckets selected STATICALLY —
+    the same scalar-prefetch kernels as the uniform stacked path, zero
+    dynamic dispatch. Math identical to :func:`decode_step_mixed`
+    (bit-exact: same kernels, same order). Compile cost is one layer body
+    per run; heavily interleaved allocations should keep using the switch
+    path (the segment count is the caller's knob — see
+    ``scripts/exp_13b_mixed.py --segmented``).
+
+    Head-major int8 caches only (the 13B flagship serving config).
+    """
+    if not isinstance(cache, HeadMajorQuantKVCache):
+        raise ValueError("decode_step_mixed_segmented requires a "
+                         "HeadMajorQuantKVCache")
+    B = tokens.shape[0]
+    lp = params.layers
+    x = params.embed[tokens].astype(jnp.float32)
+    cos, sin = llama.rope_tables(config, pos[:, None])
+    kv_groups = config.num_heads // config.num_kv_heads
+    runs = mixed_segments(lp, config.num_layers)
+
+    def run_body(start, sig):
+        base = {n: getattr(lp, n).index_in_static[start]
+                for n in _PROJ_NAMES}
+
+        def apply(name, l, y):
+            mp = getattr(lp, name)
+            idx = base[name] + (l - start)
+            return _apply_bucket(mp.buckets[sig[name]], idx, y, interpret)
+
+        def body(l, carry):
+            x, cache = carry
+            an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0,
+                                              keepdims=False)
+            y = llama.rms_norm(x[:, None, :], an,
+                               config.rms_norm_eps)[:, 0]
+            q = apply("q_proj", l, y).reshape(
+                B, 1, config.num_heads, config.head_dim)
+            k = apply("k_proj", l, y).reshape(
+                B, 1, config.num_kv_heads, config.head_dim)
+            v = apply("v_proj", l, y).reshape(
+                B, 1, config.num_kv_heads, config.head_dim)
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
+            kq, ksc = llama.quantize_kv(k[:, 0])
+            vq, vsc = llama.quantize_kv(v[:, 0])
+            ck, cv, cks, cvs = cache
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[b][None, None, :, None, :], (l, b, 0, pos[b], 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[b][None, None, :, None, :], (l, b, 0, pos[b], 0))
+                cks = jax.lax.dynamic_update_slice(
+                    cks, ksc[b][None, None, :, None], (l, b, 0, pos[b]))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, vsc[b][None, None, :, None], (l, b, 0, pos[b]))
+            cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+            qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
+                                 config.head_dim)
+            attn = AT.flash_decode_q8(
+                qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                l, pos, interpret=interpret).reshape(B, config.q_dim)
+            x = x + apply("o_proj", l, attn)
+            mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0,
+                                              keepdims=False)
+            y = llama.rms_norm(x[:, None, :], mn,
+                               config.rms_norm_eps)[:, 0]
+            gate = apply("gate_proj", l, y)
+            up = apply("up_proj", l, y)
+            x = x + apply("down_proj", l, jax.nn.silu(gate) * up)
+            return x, cache
+
+        return body
+
+    carry = (x, cache)
+    for (start, end, sig) in runs:
+        carry = jax.lax.fori_loop(start, end, run_body(start, sig), carry)
+    x, cache = carry
     logits = llama._logits(
         x[:, None, :],
         ModelParams(params.embed, [], params.final_norm, params.lm_head),

@@ -300,6 +300,19 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         kh0 = ki * P.KVHb
         posc = posv_ref[:, :1]              # (TM, 1) i32
         lane = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
+        # (B -> TM) row expansion as a matmul: sub-8-row concatenates
+        # miscompile under Mosaic (observed: row 0 exact, row 1 corrupt at
+        # B=2), so batch-row results are scattered back to the TM-row
+        # scratch with a one-hot expansion dot (pad rows land 0 — only
+        # rows < B are ever read back)
+        expandf = (jax.lax.broadcasted_iota(jnp.int32, (TM, B), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (TM, B), 1)
+                   ).astype(jnp.float32)
+
+        def _expand(v):                      # (B, N) -> (TM, N)
+            return jax.lax.dot_general(
+                expandf, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(t == 0)
         def _init():
@@ -353,12 +366,9 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                     preferred_element_type=jnp.float32)[:, 0]  # (B, D)
                 acc_old = qkv_ref[:, pl.ds(qdim + qcol, D)]
                 accB = acc_old[:B] * alpha + upd
-                qkv_ref[:, pl.ds(qdim + qcol, D)] = jnp.concatenate(
-                    [accB, acc_old[B:]], axis=0) if B < TM else accB
-                mfull = jnp.concatenate(
-                    [m_new, m_prev[B:]], axis=0) if B < TM else m_new
-                sfull = jnp.concatenate(
-                    [s_new, s_prev[B:]], axis=0) if B < TM else s_new
+                qkv_ref[:, pl.ds(qdim + qcol, D)] = _expand(accB)
+                mfull = _expand(m_new)                    # (TM, 1)
+                sfull = _expand(s_new)
                 msc_ref[:] = jnp.where(
                     colsel, jnp.broadcast_to(mfull, (TM, 128)), msc_ref[:])
                 ssc_ref[:] = jnp.where(
@@ -386,10 +396,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                 vn = vf_ref[:, pl.ds(qcol, D)]
                 acc = qkv_ref[:, pl.ds(qdim + qcol, D)][:B]
                 out = (acc * alpha + pv * vn) / s        # (B, D)
-                ao_old = qkv_ref[:, pl.ds(2 * qdim + qcol, D)]
-                qkv_ref[:, pl.ds(2 * qdim + qcol, D)] = (
-                    jnp.concatenate([out, ao_old[B:]], axis=0)
-                    if B < TM else out)
+                qkv_ref[:, pl.ds(2 * qdim + qcol, D)] = _expand(out)
 
     # ---------------- FIN: requantize attention output ------------------
     @pl.when(p == P.p_fin)

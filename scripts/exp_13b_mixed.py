@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--context", type=int, default=256)
     ap.add_argument("--steps", type=int, default=48)
+    ap.add_argument("--segmented", action="store_true",
+                    help="decode through decode_step_mixed_segmented "
+                         "(uniform-width runs, no lax.switch)")
     ap.add_argument("--no-bench", action="store_true",
                     help="allocation + accounting only (no TPU timing)")
     args = ap.parse_args()
@@ -175,7 +178,9 @@ def main():
             for j, k in enumerate(order))
         return mixed.MixedProjection(
             buckets=buckets, bucket_of=jnp.asarray(bucket_of),
-            index_in=jnp.asarray(index_in, jnp.int32))
+            index_in=jnp.asarray(index_in, jnp.int32),
+            bucket_of_static=tuple(int(b) for b in bucket_of),
+            index_in_static=tuple(index_in))
 
     @jax.jit
     def build_all():
@@ -211,12 +216,21 @@ def main():
     tokens = jnp.zeros((B,), jnp.int32)
     pos0 = args.context // 2
 
+    step_fn = (mixed.decode_step_mixed_segmented if args.segmented
+               else mixed.decode_step_mixed)
+    if args.segmented:
+        runs = mixed.mixed_segments(params.layers, L)
+        results["segments"] = len(runs)
+        print(f"# segmented decode: {len(runs)} uniform runs "
+              f"{[(s, e) for s, e, _ in runs]}", file=sys.stderr,
+              flush=True)
+
     @jax.jit
     def multi_step(params, n, cache):
         def body(i, carry):
             cache, tok, acc = carry
             pos = jnp.full((B,), pos0 + i, jnp.int32)
-            logits, cache = mixed.decode_step_mixed(
+            logits, cache = step_fn(
                 params, tok, pos, cache, config, interpret=not use_pallas)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok, acc + jnp.sum(logits) * jnp.float32(1e-9)

@@ -126,6 +126,26 @@ class TestMixedDecode:
                                                 interpret=True)
         assert np.isfinite(np.asarray(logits)).all()
 
+    def test_segmented_matches_switch_path(self, mixed_model):
+        # the run-partitioned decode must be BIT-exact vs the lax.switch
+        # dispatch (same kernels, same order, no dynamic branch)
+        mp = mixed.stack_layers_mixed(mixed_model)
+        runs = mixed.mixed_segments(mp.layers, CFG4.num_layers)
+        # schedule [2,4,8,4] + layer-1 dense down: every layer is its own
+        # signature here -> 4 runs (the worst case still works)
+        assert len(runs) == 4
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([2, 3], jnp.int32)
+        ca = llama.HeadMajorQuantKVCache.create(CFG4, 2, 16)
+        cb = llama.HeadMajorQuantKVCache.create(CFG4, 2, 16)
+        la, ca2 = mixed.decode_step_mixed(mp, toks, pos, ca, CFG4,
+                                          interpret=True)
+        lb, cb2 = mixed.decode_step_mixed_segmented(mp, toks, pos, cb,
+                                                    CFG4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        np.testing.assert_array_equal(np.asarray(ca2.k), np.asarray(cb2.k))
+        np.testing.assert_array_equal(np.asarray(ca2.v), np.asarray(cb2.v))
+
     def test_prefill_matches_unrolled(self, mixed_model):
         mp = mixed.stack_layers_mixed(mixed_model)
         toks = jax.random.randint(jax.random.PRNGKey(9), (1, 6), 0,
