@@ -299,7 +299,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="llama2-7b",
                         choices=["llama2-7b", "llama2-13b", "qwen2-0.5b",
-                                 "tiny"])
+                                 "tiny", "tiny-mha"])
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--rank", type=int, default=128)
     parser.add_argument("--batch", type=int, default=8)
@@ -342,6 +342,13 @@ def main():
                              "halves the VPU cost of converting the int8 "
                              "KV slabs (f32 accumulation either way; the "
                              "f32 path is the exactness twin)")
+    parser.add_argument("--decode-path", default="fused",
+                        choices=["fused", "mega"],
+                        help="decode step: 'fused' (one Pallas kernel per "
+                             "projection group) or 'mega' (the persistent "
+                             "whole-layer megakernel: the ENTIRE layer "
+                             "stack in ONE pallas_call; requires MHA + "
+                             "int8 'l'-layout factors)")
     parser.add_argument("--attn-kernel", default="row",
                         choices=["row", "ab"],
                         help="flash decode-attention grid: 'row' (one "
@@ -422,7 +429,10 @@ def main():
     print(f"# params built in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
     if args.flash_attn and not (args.fused and use_pallas):
-        args.flash_attn = False      # kernel path needs fused params + TPU
+        # kernel path needs fused params + TPU — except the mega path,
+        # whose interpret mode drives the same head-major cache on CPU
+        if not (args.decode_path == "mega" and args.fused):
+            args.flash_attn = False
 
     if args.phase == "prefill":
         _bench_prefill(args, params, config, backend, use_pallas)
@@ -450,12 +460,25 @@ def main():
     # trip counts, which cancels fixed dispatch/readback overhead.
     fast_path = args.mode == "w4a8" and use_pallas
 
+    if args.decode_path == "mega":
+        from ee274_convexcaldera_llm_quantization_tpu.models import (
+            persistent)
+        if not (args.fused and args.int8_factors and args.flash_attn
+                and args.factor_kernel in ("l", "lr")):
+            raise SystemExit("--decode-path mega requires --fused "
+                             "--int8-factors --flash-attn "
+                             "--factor-kernel l")
+
     @jax.jit
     def multi_step(params, n, cache):
         def body(i, carry):
             cache, tok, acc = carry
             pos = jnp.full((B,), pos0 + i, jnp.int32)
-            if args.fused:
+            if args.decode_path == "mega":
+                logits, cache = persistent.decode_step_persistent(
+                    params, tok, pos, cache, config,
+                    interpret=not use_pallas)
+            elif args.fused:
                 staged = {"off": False, "on": True,
                           "uniform": "uniform"}[args.staged_kv]
                 logits, cache = fusedm.decode_step_fused(
@@ -483,6 +506,17 @@ def main():
     compile_s = time.time() - t0
     print(f"# multi_step compiled in {compile_s:.1f}s", file=sys.stderr,
           flush=True)
+    # persistent-cache diagnostic (round 2's driver bench paid a 263 s
+    # compile despite a pre-warm: the headline executable was never
+    # written to .jax_cache — surface hit/miss state so the miss cause is
+    # visible in the driver log)
+    try:
+        ents = [f for f in os.listdir(cache_dir) if "multi_step" in f]
+        print(f"# jax_cache multi_step entries: {len(ents)} "
+              f"(compile {'<60s => cache HIT' if compile_s < 60 else 'cold'})",
+              file=sys.stderr, flush=True)
+    except OSError:
+        pass
 
     def timed(n, reps=3):
         best = float("inf")
@@ -512,7 +546,8 @@ def main():
     roofline_tok_per_s = roofline_steps_per_s * args.batch
     vs = tok_per_s / roofline_tok_per_s
 
-    variant = ("-fused" if args.fused else "") + \
+    variant = ("-mega" if args.decode_path == "mega" else "") + \
+        ("-fused" if args.fused else "") + \
         ("-flash" if args.flash_attn else
          ("-kv8" if args.kv_int8 else "")) + \
         ("-f8" if args.int8_factors else "") + \

@@ -64,9 +64,15 @@ class _Plan:
 
     def __init__(self, *, h: int, im: int, qdim: int, kvdim: int, KVH: int,
                  D: int, rank: int, num_bits: int, B: int, T: int,
-                 bnq: int = 256, bno: int = 256, bng: int = 256,
-                 bnd: int = 128, rchunk: int = 1024,
+                 bnq: int = 128, bno: int = 128, bng: int = 128,
+                 bnd: int = 128, rchunk: int = 512,
                  kv_slab_budget: int = 1 << 20):
+        # VMEM budget note: the 16 MB scoped-vmem limit is the binding
+        # constraint at the llama2-7b shape (first compile OOM'd by 680 KB
+        # with bn=256 / rchunk=1024); 128-wide output blocks, 512-col R
+        # chunks, a bf16 gate scratch, and (B, h) x0/xout leave ~2.5 MB
+        # headroom. KVHb must be a multiple of 8 (or the full KVH): the
+        # scale blocks carry it second-minor.
         f = _pack_factor(num_bits)
         self.h, self.im, self.qdim, self.kvdim = h, im, qdim, kvdim
         self.KVH, self.D, self.rank, self.num_bits = KVH, D, rank, num_bits
@@ -84,11 +90,16 @@ class _Plan:
         # token blocks: 128-wide (scale blocks carry bt as last dim)
         self.bt = T if T <= 128 or T % 128 else 128
         self.nt = T // self.bt
-        # head blocks: bound the int8 KV slab
+        # head blocks: bound the int8 KV slab; KVHb must stay a multiple
+        # of 8 or equal KVH (Mosaic second-minor rule on the scale blocks)
         self.KVHb = KVH
-        while (self.KVHb > 1
+        while (self.KVHb > 8
                and B * self.KVHb * self.bt * D > kv_slab_budget):
-            self.KVHb = max(d for d in range(1, self.KVHb) if KVH % d == 0)
+            cands = [d for d in range(8, self.KVHb)
+                     if KVH % d == 0 and d % 8 == 0]
+            if not cands:
+                break
+            self.KVHb = max(cands)
         self.nkh = KVH // self.KVHb
         # chunking of the packed planes
         self.plane_q = h // f
@@ -205,7 +216,16 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
     def _pre():
         @pl.when(l == 0)
         def _init_x():
-            x_ref[:] = x0_ref[:].astype(jnp.float32)
+            # scatter the (B, h) embedding rows into the TM-row residual
+            # scratch with a one-hot expansion (pad rows zero); sub-8-row
+            # concat/pad paths miscompile under Mosaic
+            expandf = (jax.lax.broadcasted_iota(jnp.int32, (TM, B), 0)
+                       == jax.lax.broadcasted_iota(jnp.int32, (TM, B), 1)
+                       ).astype(jnp.float32)
+            x_ref[:] = jax.lax.dot_general(
+                expandf, x0_ref[:].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             g_ref[:] = jnp.zeros_like(g_ref)
 
         x = x_ref[:]
@@ -468,7 +488,9 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                           sy_ref[:, :1], P.plane_q, P.chunk_q,
                           gL_ref, gLs_ref, xr_ref[:, :r], gs_ref[l, 4])
         col = pl.multiple_of(j * P.bng, P.bng)
-        g_ref[:, pl.ds(col, P.bng)] = out
+        # bf16 gate staging (VMEM budget); the ~3-decimal-digit rounding
+        # of the gate is far below the int8 intermediate quantization
+        g_ref[:, pl.ds(col, P.bng)] = out.astype(jnp.bfloat16)
 
     # ---------------- UP blocks: silu-mul + streaming requant ------------
     @pl.when((p >= P.p_up) & (p < P.p_up + P.ng))
@@ -479,7 +501,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                           gL_ref, gLs_ref, xr_ref[:, pl.ds(r, r)],
                           gs_ref[l, 5])
         col = pl.multiple_of(j * P.bng, P.bng)
-        gate = g_ref[:, pl.ds(col, P.bng)]
+        gate = g_ref[:, pl.ds(col, P.bng)].astype(jnp.float32)
         m = (gate * jax.lax.logistic(gate)) * out       # silu(g) * up
         # down R contribution from the f32 intermediate (streams with the
         # producing block; dR block = this up-block's columns)
@@ -535,7 +557,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         col = pl.multiple_of(j * P.bnd, P.bnd)
         xn = x_ref[:, pl.ds(col, P.bnd)] + out
         x_ref[:, pl.ds(col, P.bnd)] = xn
-        xout_ref[:, pl.ds(col, P.bnd)] = xn
+        xout_ref[:, pl.ds(col, P.bnd)] = xn[:B]
 
 
 @functools.partial(
@@ -579,8 +601,7 @@ def megastep(x0: Array, pos: Array,
     assert plan.supported(), "megastep constraints violated"
     TM = plan.TM
 
-    x0p = jnp.zeros((TM, h), jnp.float32).at[:B].set(
-        x0.astype(jnp.float32))
+    x0p = x0.astype(jnp.float32)                  # (B, h); expanded in-kernel
     # full-width rope tables (rotate-half form): duplicate halves, padded
     cosf = jnp.zeros((TM, D), jnp.float32).at[:B].set(
         jnp.concatenate([cos, cos], axis=-1).astype(jnp.float32))
@@ -673,7 +694,7 @@ def megastep(x0: Array, pos: Array,
         num_scalar_prefetch=3,
         grid=(Lk, P.P),
         in_specs=[
-            pl.BlockSpec((TM, h), _const2),                       # x0
+            pl.BlockSpec((B, h), _const2),                        # x0
             # norms ride as (L, 1, h): a (1, h) block of (L, h) violates
             # the Mosaic second-minor rule (1 is neither 8-divisible nor
             # the full L dim); with the unit axis it IS the full dim
@@ -731,7 +752,7 @@ def megastep(x0: Array, pos: Array,
                          lambda l, p, *_: (l, _d_j(l, p), 0)),    # dLs
         ],
         out_specs=[
-            pl.BlockSpec((TM, h), _const2),                       # xout
+            pl.BlockSpec((B, h), _const2),                        # xout
             pl.BlockSpec((1, B, KVH, D), lambda l, p, *_: (l, 0, 0, 0)),
             pl.BlockSpec((1, B, KVH), lambda l, p, *_: (l, 0, 0)),
             pl.BlockSpec((1, B, KVH, D), lambda l, p, *_: (l, 0, 0, 0)),
@@ -748,14 +769,14 @@ def megastep(x0: Array, pos: Array,
             pltpu.VMEM((B, qdim), jnp.float32),        # vf staging
             pltpu.VMEM((TM, 128), jnp.float32),        # attn running max
             pltpu.VMEM((TM, 128), jnp.float32),        # attn running sum
-            pltpu.VMEM((TM, im), jnp.float32),         # gate intermediate
+            pltpu.VMEM((TM, im), jnp.bfloat16),        # gate intermediate
             pltpu.VMEM((TM, im), jnp.int8),            # m8
             pltpu.VMEM((TM, 128), jnp.float32),        # sm (group scales)
             pltpu.VMEM((TM, rank), jnp.float32),       # xrd
         ],
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((TM, h), jnp.float32),
+        jax.ShapeDtypeStruct((B, h), jnp.float32),
         jax.ShapeDtypeStruct((Lk, B, KVH, D), jnp.int8),
         jax.ShapeDtypeStruct((Lk, B, KVH), jnp.float32),
         jax.ShapeDtypeStruct((Lk, B, KVH, D), jnp.int8),
@@ -783,4 +804,4 @@ def megastep(x0: Array, pos: Array,
       gu_Rs.astype(jnp.float32), gu_L, gu_Ls.astype(jnp.float32),
       dn_packed, dn_scales.astype(jnp.float32), dn_R,
       dn_Rs.astype(jnp.float32), dn_L, dn_Ls.astype(jnp.float32))
-    return xo[:B], k8, ks8, v8, vs8
+    return xo, k8, ks8, v8, vs8
