@@ -111,9 +111,13 @@ class _Plan:
         while self.plane_o % self.chunk_o:
             self.chunk_o //= 2
         self.plane_d = im // f
-        self.chunk_d = 128                    # = the m-quant group size
-        assert self.plane_d % 128 == 0
-        self.groups_d = im // 128
+        # largest divisor <= 1024 (plane lengths like 5504 = 2^7*43 have
+        # non-power-of-two divisors — 688 here; tiny chunks cost ~16x the
+        # loop iterations and measured ~13 ms/step of pure per-chunk
+        # overhead in the first on-chip build)
+        self.chunk_d = max(d for d in range(1, min(1024, self.plane_d) + 1)
+                           if self.plane_d % d == 0)
+        self.groups_d = im // self.bng        # per-UP-block absmax columns
         assert self.groups_d <= 128           # sm scratch is (TM, 128)
 
         self.nRq = h // self.rchunk
@@ -140,6 +144,7 @@ class _Plan:
         self.p_xrg = p; p += self.nRq
         self.p_gate = p; p += self.ng
         self.p_up = p; p += self.ng
+        self.p_dq = p; p += 1
         self.p_down = p; p += self.nd
         self.P = p
 
@@ -463,6 +468,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         rsy_ref[:] = jnp.broadcast_to(rs, rsy_ref.shape)
         xr_ref[:] = jnp.zeros_like(xr_ref)
         xrd_ref[:] = jnp.zeros_like(xrd_ref)
+        sm_ref[:] = jnp.zeros_like(sm_ref)    # per-up-block absmax slots
 
     # ---------------- XRG: xr_gateup chunks ------------------------------
     @pl.when((p >= P.p_xrg) & (p < P.p_xrg + P.nRq))
@@ -492,7 +498,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         # of the gate is far below the int8 intermediate quantization
         g_ref[:, pl.ds(col, P.bng)] = out.astype(jnp.bfloat16)
 
-    # ---------------- UP blocks: silu-mul + streaming requant ------------
+    # ---------------- UP blocks: silu-mul, bf16 staging ------------------
     @pl.when((p >= P.p_up) & (p < P.p_up + P.ng))
     def _up():
         j = p - P.p_up
@@ -510,50 +516,40 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
             m.astype(jnp.bfloat16), Rb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * dRs_ref[0, :, 0][None, :]
-        # per-(row, 128-group) int8 requant — NO global absmax barrier
+        # stage m in bf16 (overwriting the consumed gate) and track the
+        # per-block absmax; the DQ transition turns these into one
+        # per-ROW int8 quantization — the first build quantized
+        # per-128-group IN the producing blocks, which forced the down
+        # contraction into 128-wide chunk-dots (measured ~13 ms/step of
+        # pure loop overhead)
+        g_ref[:, pl.ds(col, P.bng)] = m.astype(jnp.bfloat16)
+        amax = jnp.max(jnp.abs(m), axis=1, keepdims=True)
         lane = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
-        m8all = []
-        for sub in range(P.bng // 128):
-            mb = m[:, sub * 128:(sub + 1) * 128]
-            amax = jnp.maximum(jnp.max(jnp.abs(mb), axis=1, keepdims=True),
-                               1e-12)
-            smb = amax / 127.0
-            m8all.append(jnp.clip(jnp.round(mb / smb), -127,
-                                  127).astype(jnp.int8))
-            gidx = j * (P.bng // 128) + sub
-            sm_ref[:] = jnp.where(lane == gidx,
-                                  jnp.broadcast_to(smb, (TM, 128)),
-                                  sm_ref[:])
-        m8_ref[:, pl.ds(col, P.bng)] = jnp.concatenate(m8all, axis=1)
+        sm_ref[:] = jnp.where(lane == j,
+                              jnp.broadcast_to(amax, (TM, 128)), sm_ref[:])
+
+    # ---------------- DQ: per-row int8 requant of the intermediate -------
+    @pl.when(p == P.p_dq)
+    def _dq():
+        # row absmax from the per-block maxes (garbage columns were
+        # zeroed at MLP), then one-pass quantize of the bf16 staging
+        amax = jnp.maximum(jnp.max(sm_ref[:], axis=1, keepdims=True),
+                           1e-12)
+        sx = amax / 127.0
+        m = g_ref[:].astype(jnp.float32)
+        m8 = jnp.clip(jnp.round(m / sx), -127, 127)
+        m8_ref[:] = m8.astype(jnp.int8)
+        rs = jnp.sum(m8, axis=1, keepdims=True).astype(jnp.int32)
+        sy_ref[:] = jnp.broadcast_to(sx, sy_ref.shape)
+        rsy_ref[:] = jnp.broadcast_to(rs, rsy_ref.shape)
 
     # ---------------- DOWN blocks + residual -----------------------------
     @pl.when((p >= P.p_down) & (p < P.p_down + P.nd))
     def _down():
         j = p - P.p_down
-        TN = P.bnd
-        acc = jnp.zeros((TM, TN), jnp.float32)
-        m8 = m8_ref[:]
-        for c in range(P.plane_d // P.chunk_d):
-            ch = dw_ref[0, :, c * P.chunk_d:(c + 1) * P.chunk_d]
-            ch = ch.astype(jnp.int32)
-            for pp in range(f):
-                u = _unpack_plane_unsigned(ch, pp, P.num_bits, f)
-                koff = pp * P.plane_d + c * P.chunk_d
-                gidx = koff // 128                       # static
-                m8c = m8[:, koff:koff + P.chunk_d]
-                di = jax.lax.dot_general(
-                    m8c, u, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                rsc = jnp.sum(m8c.astype(jnp.int32), axis=1, keepdims=True)
-                acc += ((di - maxq * rsc).astype(jnp.float32)
-                        * sm_ref[:, gidx:gidx + 1])
-        Lb = dL_ref[0].astype(jnp.float32).astype(jnp.bfloat16)
-        ylr = jax.lax.dot_general(
-            xrd_ref[:].astype(jnp.bfloat16), Lb,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        out = (acc * ds_ref[0, :, 0][None, :]
-               + ylr * dLs_ref[0, :, 0][None, :]) * gs_ref[l, 6]
+        out = _w4a8_block(dw_ref, ds_ref, m8_ref[:], rsy_ref[:, :1],
+                          sy_ref[:, :1], P.plane_d, P.chunk_d,
+                          dL_ref, dLs_ref, xrd_ref[:], gs_ref[l, 6])
         col = pl.multiple_of(j * P.bnd, P.bnd)
         xn = x_ref[:, pl.ds(col, P.bnd)] + out
         x_ref[:, pl.ds(col, P.bnd)] = xn
