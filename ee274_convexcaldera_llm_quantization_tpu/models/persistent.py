@@ -14,6 +14,7 @@ dense weights into HF modules); this is pure TPU-serving design.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -67,13 +68,49 @@ def persistent_supported(params: FusedStackedParams,
     return True
 
 
+class GateUpInterleaved(NamedTuple):
+    """Gate/up arrays re-ordered into interleaved bng-row blocks
+    (``[gate_j ++ up_j]``) for the megastep kernel's single-phase
+    gate+up programs. Build ONCE at load time (the packed array is
+    GB-scale at 7B; interleaving it per step would double weight
+    traffic)."""
+    packed: Array
+    scales: Array
+    L_cat: Array
+    L_scale_cat: Array
+
+
+def megastep_bng(im: int) -> int:
+    """The megastep plan's gate/up block width for this model."""
+    from ee274_convexcaldera_llm_quantization_tpu.ops.megastep import _Plan
+    return _Plan._bn(256, im)
+
+
+@functools.partial(jax.jit, static_argnames=("im",))
+def prepare_gateup_interleaved(gu, im: int) -> GateUpInterleaved:
+    """Interleave a fused gate++up projection's rows by megastep blocks."""
+    bng = megastep_bng(im)
+    ng = im // bng
+    j = jnp.arange(ng)[:, None]
+    half = jnp.stack([j * bng + jnp.arange(bng)[None, :],
+                      im + j * bng + jnp.arange(bng)[None, :]],
+                     axis=1)                       # (ng, 2, bng)
+    perm = half.reshape(-1)
+    return GateUpInterleaved(
+        packed=jnp.take(gu.packed, perm, axis=1),
+        scales=jnp.take(gu.scales, perm, axis=1),
+        L_cat=jnp.take(gu.L_cat, perm, axis=1),
+        L_scale_cat=jnp.take(gu.L_scale_cat, perm, axis=1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "staged_kv"),
                    donate_argnames=("cache",))
 def decode_step_persistent(params: FusedStackedParams, tokens: Array,
                            pos: Array, cache, config: ModelConfig,
                            interpret: bool = False,
-                           staged_kv: str = "uniform"):
+                           staged_kv: str = "uniform",
+                           prep: GateUpInterleaved = None):
     """Batched decode step through the whole-layer megakernel.
 
     Same contract as ``decode_step_fused(staged_kv=...)`` on a head-major
@@ -105,12 +142,19 @@ def decode_step_persistent(params: FusedStackedParams, tokens: Array,
         jnp.zeros((config.num_layers, 1), jnp.float32),
     ], axis=1)
 
+    if prep is None:
+        # fallback for tests/small models: interleave per call. For real
+        # serving, pass prepare_gateup_interleaved(params.layers.gateup,
+        # im) built ONCE — the packed gate/up array is GB-scale at 7B
+        prep = prepare_gateup_interleaved(gu, config.intermediate_size)
+
     xo, k8, ks8, v8, vs8 = MS.megastep(
         x0, pos, lp.attn_norm, lp.mlp_norm,
         qkv.packed, qkv.scales, qkv.R, qkv.R_scale, qkv.L_cat,
         qkv.L_scale_cat,
         o.packed, o.scales, o.R, o.R_scale, o.L, o.L_scale,
-        gu.packed, gu.scales, gu.R, gu.R_scale, gu.L_cat, gu.L_scale_cat,
+        prep.packed, prep.scales, gu.R, gu.R_scale, prep.L_cat,
+        prep.L_scale_cat,
         dn.packed, dn.scales, dn.R, dn.R_scale, dn.L, dn.L_scale,
         gs_all,
         cache.k, cache.k_scale, cache.v, cache.v_scale,

@@ -64,8 +64,8 @@ class _Plan:
 
     def __init__(self, *, h: int, im: int, qdim: int, kvdim: int, KVH: int,
                  D: int, rank: int, num_bits: int, B: int, T: int,
-                 bnq: int = 128, bno: int = 128, bng: int = 128,
-                 bnd: int = 128, rchunk: int = 512,
+                 bnq: int = 256, bno: int = 256, bng: int = 256,
+                 bnd: int = 128, rchunk: int = 1024,
                  kv_slab_budget: int = 1 << 20):
         # VMEM budget note: the 16 MB scoped-vmem limit is the binding
         # constraint at the llama2-7b shape (first compile OOM'd by 680 KB
@@ -142,8 +142,7 @@ class _Plan:
         self.p_o = p; p += self.no
         self.p_mlp = p; p += 1
         self.p_xrg = p; p += self.nRq
-        self.p_gate = p; p += self.ng
-        self.p_up = p; p += self.ng
+        self.p_gu = p; p += self.ng        # interleaved gate+up blocks
         self.p_dq = p; p += 1
         self.p_down = p; p += self.nd
         self.P = p
@@ -165,12 +164,12 @@ class _Plan:
 
 def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                      x0_ref, an_ref, mn_ref,
-                     qw_ref, qs_ref, qR_ref, qRs_ref, qL_ref, qLs_ref,
+                     qw_ref, qs_ref, qR_ref, qRs_ref, qL_ref,
                      cos_ref, sin_ref, prot_ref,
                      kc_ref, ksc_ref, vc_ref, vsc_ref, posv_ref,
-                     ow_ref, os_ref, oR_ref, oRs_ref, oL_ref, oLs_ref,
-                     gw_ref, gss_ref, gR_ref, gRs_ref, gL_ref, gLs_ref,
-                     dw_ref, ds_ref, dR_ref, dRs_ref, dL_ref, dLs_ref,
+                     ow_ref, os_ref, oR_ref, oRs_ref, oL_ref,
+                     gw_ref, gss_ref, gR_ref, gRs_ref, gL_ref,
+                     dw_ref, ds_ref, dR_ref, dRs_ref, dL_ref,
                      xout_ref, k8_ref, ks8_ref, v8_ref, vs8_ref,
                      x_ref, y8_ref, sy_ref, rsy_ref, xr_ref, qkv_ref,
                      kf_ref, vf_ref, msc_ref, ssc_ref, g_ref, m8_ref,
@@ -183,9 +182,8 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
     qdim = P.qdim
     scale = 1.0 / (D ** 0.5)
 
-    def _w4a8_block(w_ref, s_ref, xq, rs, sx, plane, chunk, L_ref, Ls_ref,
-                    xr_win, gsi):
-        """Standard W4A8 output block + L-factor add + global scale."""
+    def _int8_acc(w_ref, xq, rs, plane, chunk):
+        """Unsigned-code int8 matmul accumulation + rank-1 bias removal."""
         TN = w_ref.shape[1]
         acc = jnp.zeros((TM, TN), jnp.int32)
         for c in range(plane // chunk):
@@ -197,14 +195,22 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                     xq[:, koff:koff + chunk], u,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-        acc = acc - maxq * rs
+        return acc - maxq * rs
+
+    def _w4a8_block(w_ref, s2_ref, xq, rs, sx, plane, chunk, L_ref,
+                    xr_win, gsi):
+        """Standard W4A8 output block + L-factor add + global scale.
+        ``s2_ref``: (1, TN, 2) — weight row scales and L-factor row scales
+        merged into ONE operand (fewer per-program index-map/DMA checks;
+        the ~1 us/program bookkeeping floor scales with operand count)."""
+        acc = _int8_acc(w_ref, xq, rs, plane, chunk)
         Lb = L_ref[0].astype(jnp.float32).astype(jnp.bfloat16)   # (TN, r)
         ylr = jax.lax.dot_general(
             xr_win.astype(jnp.bfloat16), Lb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out = (acc.astype(jnp.float32) * s_ref[0, :, 0][None, :] * sx
-               + ylr * Ls_ref[0, :, 0][None, :])
+        out = (acc.astype(jnp.float32) * s2_ref[0, :, 0][None, :] * sx
+               + ylr * s2_ref[0, :, 1][None, :])
         return out * gsi
 
     def _quantize_rows(y):
@@ -267,8 +273,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         pid = ((col0 >= qdim).astype(jnp.int32)
                + (col0 >= qdim + P.kvdim).astype(jnp.int32))
         out = _w4a8_block(qw_ref, qs_ref, y8_ref[:], rsy_ref[:, :1],
-                          sy_ref[:, :1], P.plane_q, P.chunk_q,
-                          qL_ref, qLs_ref,
+                          sy_ref[:, :1], P.plane_q, P.chunk_q, qL_ref,
                           xr_ref[:, pl.ds(pl.multiple_of(pid * r, r), r)],
                           gs_ref[l, pid])
         qkv_ref[:, pl.ds(pl.multiple_of(col0, P.bnq), P.bnq)] = out
@@ -452,7 +457,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         j = p - P.p_o
         out = _w4a8_block(ow_ref, os_ref, y8_ref[:], rsy_ref[:, :1],
                           sy_ref[:, :1], P.plane_o, P.chunk_o,
-                          oL_ref, oLs_ref, xr_ref[:, :r], gs_ref[l, 3])
+                          oL_ref, xr_ref[:, :r], gs_ref[l, 3])
         col = pl.multiple_of(j * P.bno, P.bno)
         x_ref[:, pl.ds(col, P.bno)] += out
 
@@ -486,42 +491,45 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
             preferred_element_type=jnp.float32)
         xr_ref[:, :2 * r] += xr * gRs_ref[0, :, 0][None, :]
 
-    # ---------------- GATE blocks ----------------------------------------
-    @pl.when((p >= P.p_gate) & (p < P.p_gate + P.ng))
-    def _gate():
-        j = p - P.p_gate
-        out = _w4a8_block(gw_ref, gss_ref, y8_ref[:], rsy_ref[:, :1],
-                          sy_ref[:, :1], P.plane_q, P.chunk_q,
-                          gL_ref, gLs_ref, xr_ref[:, :r], gs_ref[l, 4])
-        col = pl.multiple_of(j * P.bng, P.bng)
-        # bf16 gate staging (VMEM budget); the ~3-decimal-digit rounding
-        # of the gate is far below the int8 intermediate quantization
-        g_ref[:, pl.ds(col, P.bng)] = out.astype(jnp.bfloat16)
-
-    # ---------------- UP blocks: silu-mul, bf16 staging ------------------
-    @pl.when((p >= P.p_up) & (p < P.p_up + P.ng))
-    def _up():
-        j = p - P.p_up
-        out = _w4a8_block(gw_ref, gss_ref, y8_ref[:], rsy_ref[:, :1],
-                          sy_ref[:, :1], P.plane_q, P.chunk_q,
-                          gL_ref, gLs_ref, xr_ref[:, pl.ds(r, r)],
-                          gs_ref[l, 5])
-        col = pl.multiple_of(j * P.bng, P.bng)
-        gate = g_ref[:, pl.ds(col, P.bng)].astype(jnp.float32)
-        m = (gate * jax.lax.logistic(gate)) * out       # silu(g) * up
-        # down R contribution from the f32 intermediate (streams with the
-        # producing block; dR block = this up-block's columns)
+    # ---------------- GATE+UP interleaved blocks -------------------------
+    @pl.when((p >= P.p_gu) & (p < P.p_gu + P.ng))
+    def _gu():
+        # the gate/up weights arrive INTERLEAVED by bng-row blocks
+        # ([g_j ++ u_j]; see persistent.prepare_gateup_interleaved), so
+        # ONE program computes both halves with a single (TM, 2*bng)
+        # int8 matmul, applies silu-mul immediately, and stages the
+        # intermediate — half the programs and no gate staging round trip
+        # vs the separate GATE/UP phases of the first build
+        j = p - P.p_gu
+        acc = _int8_acc(gw_ref, y8_ref[:], rsy_ref[:, :1], P.plane_q,
+                        P.chunk_q)                       # (TM, 2*bng)
+        base = acc.astype(jnp.float32) * gss_ref[0, :, 0][None, :] \
+            * sy_ref[:, :1]
+        Lg = gL_ref[0, :P.bng].astype(jnp.float32).astype(jnp.bfloat16)
+        Lu = gL_ref[0, P.bng:].astype(jnp.float32).astype(jnp.bfloat16)
+        ylr_g = jax.lax.dot_general(
+            xr_ref[:, :r].astype(jnp.bfloat16), Lg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ylr_u = jax.lax.dot_general(
+            xr_ref[:, pl.ds(r, r)].astype(jnp.bfloat16), Lu,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ylr = jnp.concatenate([ylr_g, ylr_u], axis=1)
+        out = base + ylr * gss_ref[0, :, 1][None, :]
+        gate = out[:, :P.bng] * gs_ref[l, 4]
+        up = out[:, P.bng:] * gs_ref[l, 5]
+        m = (gate * jax.lax.logistic(gate)) * up         # silu(g) * up
+        # down R contribution streams with the producing block
         Rb = dR_ref[0].astype(jnp.float32).astype(jnp.bfloat16)  # (r, bng)
         xrd_ref[:] += jax.lax.dot_general(
             m.astype(jnp.bfloat16), Rb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * dRs_ref[0, :, 0][None, :]
-        # stage m in bf16 (overwriting the consumed gate) and track the
-        # per-block absmax; the DQ transition turns these into one
-        # per-ROW int8 quantization — the first build quantized
-        # per-128-group IN the producing blocks, which forced the down
-        # contraction into 128-wide chunk-dots (measured ~13 ms/step of
-        # pure loop overhead)
+        # bf16 staging + per-block absmax; ONE DQ transition then does the
+        # per-ROW int8 requant (per-group-in-block requant forced 128-col
+        # chunk-dots in DOWN — measured ~13 ms/step of loop overhead)
+        col = pl.multiple_of(j * P.bng, P.bng)
         g_ref[:, pl.ds(col, P.bng)] = m.astype(jnp.bfloat16)
         amax = jnp.max(jnp.abs(m), axis=1, keepdims=True)
         lane = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
@@ -549,7 +557,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         j = p - P.p_down
         out = _w4a8_block(dw_ref, ds_ref, m8_ref[:], rsy_ref[:, :1],
                           sy_ref[:, :1], P.plane_d, P.chunk_d,
-                          dL_ref, dLs_ref, xrd_ref[:], gs_ref[l, 6])
+                          dL_ref, xrd_ref[:], gs_ref[l, 6])
         col = pl.multiple_of(j * P.bnd, P.bnd)
         xn = x_ref[:, pl.ds(col, P.bnd)] + out
         x_ref[:, pl.ds(col, P.bnd)] = xn
@@ -577,9 +585,13 @@ def megastep(x0: Array, pos: Array,
     """Run the whole 32-layer decode stack as ONE pallas_call.
 
     Arrays as stacked by :mod:`models.fused` (factor_kernel='l' layout:
-    int8 R with row scales, N-concatenated int8 L). ``gs_all`` is
-    ``(L, 8)`` f32 global scales ``[q, k, v, o, gate, up, down, 0]``.
-    ``cos``/``sin`` are the (B, D/2) rope tables of the CURRENT position.
+    int8 R with row scales, N-concatenated int8 L), EXCEPT the gate/up
+    family (``gu_packed``/``gu_scales``/``gu_L``/``gu_Ls``), which must be
+    INTERLEAVED by ``bng``-row blocks (``[gate_j ++ up_j]`` — see
+    ``models.persistent.prepare_gateup_interleaved``; pre-compute it ONCE
+    at load, the packed array is GB-scale). ``gs_all`` is ``(L, 8)`` f32
+    global scales ``[q, k, v, o, gate, up, down, 0]``. ``cos``/``sin``
+    are the (B, D/2) rope tables of the CURRENT position.
 
     Returns ``(x_out (B, h) f32, k8 (L, B, KVH, D) i8, ks (L, B, KVH) f32,
     v8, vs)`` — the final hidden state (pre-final-norm) plus this step's
@@ -596,6 +608,13 @@ def megastep(x0: Array, pos: Array,
                  rank=rank, num_bits=num_bits, B=B, T=T)
     assert plan.supported(), "megastep constraints violated"
     TM = plan.TM
+    # merge (weight row scales, L row scales) into ONE (L, N, 2) operand
+    # per family — ~9% fewer per-program index-map/DMA checks (the
+    # scales are MB-scale, so the per-call concat is noise)
+    qs2 = jnp.concatenate([qkv_scales, qkv_Ls], axis=2).astype(jnp.float32)
+    os2 = jnp.concatenate([o_scales, o_Ls], axis=2).astype(jnp.float32)
+    gs2 = jnp.concatenate([gu_scales, gu_Ls], axis=2).astype(jnp.float32)
+    ds2 = jnp.concatenate([dn_scales, dn_Ls], axis=2).astype(jnp.float32)
 
     x0p = x0.astype(jnp.float32)                  # (B, h); expanded in-kernel
     # full-width rope tables (rotate-half form): duplicate halves, padded
@@ -630,18 +649,14 @@ def megastep(x0: Array, pos: Array,
         return jnp.clip(p - P.p_o, 0, P.no - 1)
 
     def _g_j(l, p, *_):
-        # gate blocks then up blocks read the SAME stacked gate++up array:
-        # block j for gate phase, ng + j for up phase
-        j = jnp.where(p >= P.p_up,
-                      P.ng + jnp.clip(p - P.p_up, 0, P.ng - 1),
-                      jnp.clip(p - P.p_gate, 0, P.ng - 1))
-        return j
+        # interleaved gate+up blocks: one (2*bng)-row block per program
+        return jnp.clip(p - P.p_gu, 0, P.ng - 1)
 
     def _d_j(l, p, *_):
         return jnp.clip(p - P.p_down, 0, P.nd - 1)
 
     def _dR_j(l, p, *_):
-        return jnp.clip(p - P.p_up, 0, P.ng - 1)
+        return jnp.clip(p - P.p_gu, 0, P.ng - 1)
 
     # fetch-once R slabs: advance to layer l+1 after their last use so the
     # next layer's slab streams in behind the remaining programs
@@ -664,12 +679,12 @@ def megastep(x0: Array, pos: Array,
         return (lsel, 0, 0)
 
     def _gR_idx(l, p, *_):
-        lsel = jnp.where(p >= P.p_gate, jnp.minimum(l + 1, Lk - 1), l)
+        lsel = jnp.where(p >= P.p_gu, jnp.minimum(l + 1, Lk - 1), l)
         c = jnp.clip(p - P.p_xrg, 0, P.nRq - 1)
         return (lsel, 0, c)
 
     def _gRs_idx(l, p, *_):
-        lsel = jnp.where(p >= P.p_gate, jnp.minimum(l + 1, Lk - 1), l)
+        lsel = jnp.where(p >= P.p_gu, jnp.minimum(l + 1, Lk - 1), l)
         return (lsel, 0, 0)
 
     # clamp token index past the live blocks (DMA elision); LB is the
@@ -698,14 +713,12 @@ def megastep(x0: Array, pos: Array,
             pl.BlockSpec((1, 1, h), lambda l, p, *_: (l, 0, 0)),  # mlp_norm
             pl.BlockSpec((1, P.bnq, P.plane_q),
                          lambda l, p, *_: (l, _qkv_j(l, p), 0)),  # qw
-            pl.BlockSpec((1, P.bnq, 1),
-                         lambda l, p, *_: (l, _qkv_j(l, p), 0)),  # qs
+            pl.BlockSpec((1, P.bnq, 2),
+                         lambda l, p, *_: (l, _qkv_j(l, p), 0)),  # qs2
             pl.BlockSpec((1, 3 * rank, P.rchunk), _qR_idx),       # qR
             pl.BlockSpec((1, 3 * rank, 1), _qRs_idx),             # qRs
             pl.BlockSpec((1, P.bnq, rank),
                          lambda l, p, *_: (l, _qkv_j(l, p), 0)),  # qL
-            pl.BlockSpec((1, P.bnq, 1),
-                         lambda l, p, *_: (l, _qkv_j(l, p), 0)),  # qLs
             pl.BlockSpec((TM, D), _const2),                       # cos
             pl.BlockSpec((TM, D), _const2),                       # sin
             pl.BlockSpec((D, D), _const2),                        # prot
@@ -716,36 +729,30 @@ def megastep(x0: Array, pos: Array,
             pl.BlockSpec((TM, 128), _const2),                     # posv
             pl.BlockSpec((1, P.bno, P.plane_o),
                          lambda l, p, *_: (l, _o_j(l, p), 0)),    # ow
-            pl.BlockSpec((1, P.bno, 1),
-                         lambda l, p, *_: (l, _o_j(l, p), 0)),    # os
+            pl.BlockSpec((1, P.bno, 2),
+                         lambda l, p, *_: (l, _o_j(l, p), 0)),    # os2
             pl.BlockSpec((1, rank, P.rchunk_o), _oR_idx),         # oR
             pl.BlockSpec((1, rank, 1), _oRs_idx),                 # oRs
             pl.BlockSpec((1, P.bno, rank),
                          lambda l, p, *_: (l, _o_j(l, p), 0)),    # oL
-            pl.BlockSpec((1, P.bno, 1),
-                         lambda l, p, *_: (l, _o_j(l, p), 0)),    # oLs
-            pl.BlockSpec((1, P.bng, P.plane_q),
+            pl.BlockSpec((1, 2 * P.bng, P.plane_q),
                          lambda l, p, *_: (l, _g_j(l, p), 0)),    # gw
-            pl.BlockSpec((1, P.bng, 1),
-                         lambda l, p, *_: (l, _g_j(l, p), 0)),    # gss
+            pl.BlockSpec((1, 2 * P.bng, 2),
+                         lambda l, p, *_: (l, _g_j(l, p), 0)),    # gs2
             pl.BlockSpec((1, 2 * rank, P.rchunk), _gR_idx),       # gR
             pl.BlockSpec((1, 2 * rank, 1), _gRs_idx),             # gRs
-            pl.BlockSpec((1, P.bng, rank),
+            pl.BlockSpec((1, 2 * P.bng, rank),
                          lambda l, p, *_: (l, _g_j(l, p), 0)),    # gL
-            pl.BlockSpec((1, P.bng, 1),
-                         lambda l, p, *_: (l, _g_j(l, p), 0)),    # gLs
             pl.BlockSpec((1, P.bnd, P.plane_d),
                          lambda l, p, *_: (l, _d_j(l, p), 0)),    # dw
-            pl.BlockSpec((1, P.bnd, 1),
-                         lambda l, p, *_: (l, _d_j(l, p), 0)),    # ds
+            pl.BlockSpec((1, P.bnd, 2),
+                         lambda l, p, *_: (l, _d_j(l, p), 0)),    # ds2
             pl.BlockSpec((1, rank, P.bng),
                          lambda l, p, *_: (l, 0, _dR_j(l, p))),   # dR
             pl.BlockSpec((1, rank, 1),
                          lambda l, p, *_: (l, 0, 0)),             # dRs
             pl.BlockSpec((1, P.bnd, rank),
                          lambda l, p, *_: (l, _d_j(l, p), 0)),    # dL
-            pl.BlockSpec((1, P.bnd, 1),
-                         lambda l, p, *_: (l, _d_j(l, p), 0)),    # dLs
         ],
         out_specs=[
             pl.BlockSpec((B, h), _const2),                        # xout
@@ -790,14 +797,14 @@ def megastep(x0: Array, pos: Array,
       gs_all.astype(jnp.float32),
       x0p, attn_norm.astype(jnp.float32)[:, None, :],
       mlp_norm.astype(jnp.float32)[:, None, :],
-      qkv_packed, qkv_scales.astype(jnp.float32), qkv_R,
-      qkv_Rs.astype(jnp.float32), qkv_L, qkv_Ls.astype(jnp.float32),
+      qkv_packed, qs2, qkv_R,
+      qkv_Rs.astype(jnp.float32), qkv_L,
       cosf, sinf, Prot,
       kc, ksc.astype(jnp.float32), vc, vsc.astype(jnp.float32), posv,
-      o_packed, o_scales.astype(jnp.float32), o_R,
-      o_Rs.astype(jnp.float32), o_L, o_Ls.astype(jnp.float32),
-      gu_packed, gu_scales.astype(jnp.float32), gu_R,
-      gu_Rs.astype(jnp.float32), gu_L, gu_Ls.astype(jnp.float32),
-      dn_packed, dn_scales.astype(jnp.float32), dn_R,
-      dn_Rs.astype(jnp.float32), dn_L, dn_Ls.astype(jnp.float32))
+      o_packed, os2, o_R,
+      o_Rs.astype(jnp.float32), o_L,
+      gu_packed, gs2, gu_R,
+      gu_Rs.astype(jnp.float32), gu_L,
+      dn_packed, ds2, dn_R,
+      dn_Rs.astype(jnp.float32), dn_L)
     return xo, k8, ks8, v8, vs8

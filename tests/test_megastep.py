@@ -125,10 +125,9 @@ class TestMegastep:
         y2 = llama.rms_norm(x[:, None, :], lp.mlp_norm[0],
                             cfg.rms_norm_eps)[:, 0]
         gate, up = fusedm._apply_fused(lp.gateup, jnp.int32(0), y2, True)
-        # the kernel stages the gate AND the silu-mul intermediate through
-        # bf16 (VMEM budget); requant is per-row from the bf16 staging
-        # with the absmax taken on the f32 values
-        gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
+        # gate+up run in one interleaved program (gate stays f32); only
+        # the silu-mul intermediate stages through bf16 (VMEM budget);
+        # requant is per-row with the absmax taken on the f32 values
         m = jax.nn.silu(gate) * up
         amax = np.maximum(np.abs(np.asarray(m)).max(1, keepdims=True),
                           1e-12)
