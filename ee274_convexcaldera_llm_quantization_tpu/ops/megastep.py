@@ -18,27 +18,34 @@ Key design rules (all proven on this chip by the round-2 megakernels):
 
 - dynamic *lane* offsets only, always ``pl.multiple_of`` >= 128; never a
   dynamic sublane offset (attention grids over HEAD blocks, not batch
-  rows, so every per-head access is a 128-aligned lane slice);
-- no reshapes that move data between sublanes and lanes — the hidden
-  state and all intermediates stay 2-D ``(TM, features)`` with per-head
-  static/aligned-dynamic column windows;
-- the gate/up -> down intermediate is requantized in per-(row, 128-col)
-  groups AS each up-block finishes (select-merged scale columns), so
-  requantization streams with the producing blocks instead of
-  serializing behind a global absmax (the round-2 whole-MLP megakernel's
-  measured defect);
+  rows, so every per-head access is a 128-aligned lane slice); (B, N)
+  batch-row results scatter back to TM-row scratch via one-hot
+  expansion matmuls (sub-8-row concatenates MISCOMPILE under Mosaic);
+- gate and up weights arrive INTERLEAVED by block so one program
+  computes both halves and applies silu-mul immediately; the bf16
+  intermediate is requantized per-ROW by one DQ transition program, so
+  the down contraction runs large-chunk int8 dots (per-group scales
+  would force 128-col chunk-dots: measured ~13 ms/step of overhead);
 - per-layer slabs fetched once (the R factors) advance their BlockSpec
-  index to layer ``l+1`` right after their last use in layer ``l``, so
-  the next layer's slab streams in behind ~180 programs of compute;
-- scale blocks carry ``block_t`` as their last dim, so token blocks are
-  128-wide (the Mosaic last-dim rule).
+  index to layer ``l+1`` right after their last use in layer ``l``;
+- scale blocks carry ``block_t`` as their last dim, weight and L-factor
+  row scales merge into one (N, 2) operand per family, and every block
+  obeys the Mosaic last-two-dims rule.
+
+MEASURED VERDICT (round 3, llama2-7b B8 ctx256): correct (bit-exact vs
+interpret; argmax-identical to the fused path) but SLOWER than the
+per-kernel fused path — per-GRID-STEP bookkeeping with ~33 operands
+costs ~0.9 us/program (= the per-launch floor), so the ~6k programs a
+whole-step kernel needs repay the boundary savings. Kept as a correct,
+tested alternative path (``bench.py --decode-path mega``) and as the
+measured negative result for the round-2 "persistent kernel" plan; see
+MEASUREMENTS_r3.md for the optimization ladder.
 
 The reference has no serving path at all (it materializes dense weights
 back into an HF module, reference ``main.py:197-199``); this is pure
 TPU-serving design. Numerics match ``models.fused.decode_step_fused``
-(staged-KV path) to f32 rounding, EXCEPT the down-projection activation
-quantization which is per-(row, 128-group) instead of per-row — strictly
-finer, asserted equivalent to ~1e-3 logits rel in tests.
+(staged-KV path) to f32 rounding except the documented bf16
+intermediate staging (logits rel ~7e-4 at 7B, greedy argmax identical).
 """
 
 from __future__ import annotations
@@ -65,7 +72,7 @@ class _Plan:
     def __init__(self, *, h: int, im: int, qdim: int, kvdim: int, KVH: int,
                  D: int, rank: int, num_bits: int, B: int, T: int,
                  bnq: int = 256, bno: int = 256, bng: int = 256,
-                 bnd: int = 128, rchunk: int = 1024,
+                 bnd: int = 128, rchunk: int = 512,
                  kv_slab_budget: int = 1 << 20):
         # VMEM budget note: the 16 MB scoped-vmem limit is the binding
         # constraint at the llama2-7b shape (first compile OOM'd by 680 KB
@@ -110,6 +117,12 @@ class _Plan:
         self.chunk_o = min(1024, self.plane_o)
         while self.plane_o % self.chunk_o:
             self.chunk_o //= 2
+        # the interleaved gate+up phase unpacks (2*bng, chunk) at once;
+        # its i32-widened chunk temporary is the kernel's stack peak —
+        # halve the chunk to keep it at ~1 MB (scoped-vmem limit)
+        self.chunk_gu = min(256, self.plane_q)
+        while self.plane_q % self.chunk_gu:
+            self.chunk_gu //= 2
         self.plane_d = im // f
         # largest divisor <= 1024 (plane lengths like 5504 = 2^7*43 have
         # non-power-of-two divisors — 688 here; tiny chunks cost ~16x the
@@ -426,6 +439,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
                 vn = vf_ref[:, pl.ds(qcol, D)]
                 acc = qkv_ref[:, pl.ds(qdim + qcol, D)][:B]
                 out = (acc * alpha + pv * vn) / s        # (B, D)
+                # land the finished head in the (consumed) V region
                 qkv_ref[:, pl.ds(2 * qdim + qcol, D)] = _expand(out)
 
     # ---------------- FIN: requantize attention output ------------------
@@ -502,7 +516,7 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         # vs the separate GATE/UP phases of the first build
         j = p - P.p_gu
         acc = _int8_acc(gw_ref, y8_ref[:], rsy_ref[:, :1], P.plane_q,
-                        P.chunk_q)                       # (TM, 2*bng)
+                        P.chunk_gu)                      # (TM, 2*bng)
         base = acc.astype(jnp.float32) * gss_ref[0, :, 0][None, :] \
             * sy_ref[:, :1]
         Lg = gL_ref[0, :P.bng].astype(jnp.float32).astype(jnp.bfloat16)
@@ -540,16 +554,23 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
     @pl.when(p == P.p_dq)
     def _dq():
         # row absmax from the per-block maxes (garbage columns were
-        # zeroed at MLP), then one-pass quantize of the bf16 staging
+        # zeroed at MLP), then quantize the bf16 staging in column chunks
+        # (a whole-array f32 materialization of the (TM, im) intermediate
+        # would be ~3 MB of kernel stack — the scoped-vmem peak)
         amax = jnp.maximum(jnp.max(sm_ref[:], axis=1, keepdims=True),
                            1e-12)
         sx = amax / 127.0
-        m = g_ref[:].astype(jnp.float32)
-        m8 = jnp.clip(jnp.round(m / sx), -127, 127)
-        m8_ref[:] = m8.astype(jnp.int8)
-        rs = jnp.sum(m8, axis=1, keepdims=True).astype(jnp.int32)
+        cq = P.im
+        while cq > 2048:
+            cq //= 2
+        rs = jnp.zeros((TM, 1), jnp.float32)
+        for c in range(P.im // cq):
+            m = g_ref[:, c * cq:(c + 1) * cq].astype(jnp.float32)
+            m8 = jnp.clip(jnp.round(m / sx), -127, 127)
+            m8_ref[:, c * cq:(c + 1) * cq] = m8.astype(jnp.int8)
+            rs = rs + jnp.sum(m8, axis=1, keepdims=True)
         sy_ref[:] = jnp.broadcast_to(sx, sy_ref.shape)
-        rsy_ref[:] = jnp.broadcast_to(rs, rsy_ref.shape)
+        rsy_ref[:] = jnp.broadcast_to(rs.astype(jnp.int32), rsy_ref.shape)
 
     # ---------------- DOWN blocks + residual -----------------------------
     @pl.when((p >= P.p_down) & (p < P.p_down + P.nd))
@@ -767,7 +788,7 @@ def megastep(x0: Array, pos: Array,
             pltpu.VMEM((TM, 128), jnp.float32),        # sy
             pltpu.VMEM((TM, 128), jnp.int32),          # rsy
             pltpu.VMEM((TM, 3 * rank), jnp.float32),   # xr
-            pltpu.VMEM((TM, 3 * qdim), jnp.float32),   # qkv / acc / ao
+            pltpu.VMEM((TM, 3 * qdim), jnp.float32),   # qkv: q|k->acc|v->ao
             pltpu.VMEM((B, qdim), jnp.float32),        # kf staging
             pltpu.VMEM((B, qdim), jnp.float32),        # vf staging
             pltpu.VMEM((TM, 128), jnp.float32),        # attn running max
