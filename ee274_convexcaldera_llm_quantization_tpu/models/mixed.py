@@ -321,11 +321,12 @@ def mixed_segments(layers: MixedLayerStack, num_layers: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret"),
+                   static_argnames=("config", "interpret", "staged_kv"),
                    donate_argnames=("cache",))
 def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                                 pos: Array, cache, config: ModelConfig,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                staged_kv: bool = True):
     """Mixed-precision decode WITHOUT per-layer ``lax.switch``.
 
     Round 2 measured the switch dispatch at ~14 roofline points on the
@@ -353,6 +354,15 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
     cos, sin = llama.rope_tables(config, pos[:, None])
     kv_groups = config.num_heads // config.num_kv_heads
     runs = mixed_segments(lp, config.num_layers)
+    Lk, KVH, D = config.num_layers, config.num_kv_heads, config.head_dim
+    if staged_kv:
+        # staged commits (as in the fused path): one dynamic_update_slice
+        # per staging array per layer instead of 4*B per layer — at 13B
+        # B8/L40 that is 160 thunks instead of 1280
+        staging = (jnp.zeros((Lk, B, KVH, D), jnp.int8),
+                   jnp.zeros((Lk, B, KVH), jnp.float32),
+                   jnp.zeros((Lk, B, KVH, D), jnp.int8),
+                   jnp.zeros((Lk, B, KVH), jnp.float32))
 
     def run_body(start, sig):
         base = {n: getattr(lp, n).index_in_static[start]
@@ -364,7 +374,10 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
             return _apply_bucket(mp.buckets[sig[name]], idx, y, interpret)
 
         def body(l, carry):
-            x, cache = carry
+            if staged_kv:
+                x, cache, stg = carry
+            else:
+                x, cache = carry
             an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0,
                                               keepdims=False)
             y = llama.rms_norm(x[:, None, :], an,
@@ -379,22 +392,42 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
             k = llama.apply_rope(k, cos, sin)
             kq, ksc = llama.quantize_kv(k[:, 0])
             vq, vsc = llama.quantize_kv(v[:, 0])
-            ck, cv, cks, cvs = cache
-            for b in range(B):
-                ck = jax.lax.dynamic_update_slice(
-                    ck, kq[b][None, None, :, None, :], (l, b, 0, pos[b], 0))
-                cv = jax.lax.dynamic_update_slice(
-                    cv, vq[b][None, None, :, None, :], (l, b, 0, pos[b], 0))
-                cks = jax.lax.dynamic_update_slice(
-                    cks, ksc[b][None, None, :, None], (l, b, 0, pos[b]))
-                cvs = jax.lax.dynamic_update_slice(
-                    cvs, vsc[b][None, None, :, None], (l, b, 0, pos[b]))
-            cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
             qh = q[:, 0].reshape(B, config.num_kv_heads, kv_groups,
                                  config.head_dim)
-            attn = AT.flash_decode_q8(
-                qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                l, pos, interpret=interpret).reshape(B, config.q_dim)
+            if staged_kv:
+                kf = kq.astype(jnp.float32) * ksc[..., None]
+                vf = vq.astype(jnp.float32) * vsc[..., None]
+                sk, sks, sv, svs = stg
+                sk = jax.lax.dynamic_update_slice(sk, kq[None],
+                                                  (l, 0, 0, 0))
+                sks = jax.lax.dynamic_update_slice(sks, ksc[None],
+                                                   (l, 0, 0))
+                sv = jax.lax.dynamic_update_slice(sv, vq[None],
+                                                  (l, 0, 0, 0))
+                svs = jax.lax.dynamic_update_slice(svs, vsc[None],
+                                                   (l, 0, 0))
+                stg = (sk, sks, sv, svs)
+                attn = AT.flash_decode_q8_staged(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    kf, vf, l, pos,
+                    interpret=interpret).reshape(B, config.q_dim)
+            else:
+                ck, cv, cks, cvs = cache
+                for b in range(B):
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kq[b][None, None, :, None, :],
+                        (l, b, 0, pos[b], 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, vq[b][None, None, :, None, :],
+                        (l, b, 0, pos[b], 0))
+                    cks = jax.lax.dynamic_update_slice(
+                        cks, ksc[b][None, None, :, None], (l, b, 0, pos[b]))
+                    cvs = jax.lax.dynamic_update_slice(
+                        cvs, vsc[b][None, None, :, None], (l, b, 0, pos[b]))
+                cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+                attn = AT.flash_decode_q8(
+                    qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                    l, pos, interpret=interpret).reshape(B, config.q_dim)
             x = x + apply("o_proj", l, attn)
             mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0,
                                               keepdims=False)
@@ -403,14 +436,31 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
             gate = apply("gate_proj", l, y)
             up = apply("up_proj", l, y)
             x = x + apply("down_proj", l, jax.nn.silu(gate) * up)
+            if staged_kv:
+                return x, cache, stg
             return x, cache
 
         return body
 
-    carry = (x, cache)
+    carry = (x, cache, staging) if staged_kv else (x, cache)
     for (start, end, sig) in runs:
         carry = jax.lax.fori_loop(start, end, run_body(start, sig), carry)
-    x, cache = carry
+    if staged_kv:
+        x, cache, stg = carry
+        sk, sks, sv, svs = stg
+        ck, cv, cks, cvs = cache
+        for b in range(B):
+            ck = jax.lax.dynamic_update_slice(
+                ck, sk[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, sv[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, sks[:, b][:, None, :, None], (0, b, 0, pos[b]))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, svs[:, b][:, None, :, None], (0, b, 0, pos[b]))
+        cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+    else:
+        x, cache = carry
     logits = llama._logits(
         x[:, None, :],
         ModelParams(params.embed, [], params.final_norm, params.lm_head),

@@ -51,11 +51,12 @@ def main():
     W = jax.random.normal(key, (N, K), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.float32)
 
-    # grouped bf16 kernel
+    # grouped bf16 kernel (per-chunk bf16 rounding differs from the
+    # twin's whole-matrix cast: bf16 floor is the documented tolerance)
     pk, sc = Kr.pack_for_serving(W, 4)
     check("quantized_matmul (grouped bf16)",
           Kr.quantized_matmul(x, pk, sc, 4),
-          Kr.quantized_matmul_xla(x, pk, sc, 4), 1e-5)
+          Kr.quantized_matmul_xla(x, pk, sc, 4), 1e-2)
 
     # W4A8 flat + stacked (4-bit and 2-bit grids)
     for bits in (4, 2):

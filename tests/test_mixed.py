@@ -138,13 +138,25 @@ class TestMixedDecode:
         pos = jnp.asarray([2, 3], jnp.int32)
         ca = llama.HeadMajorQuantKVCache.create(CFG4, 2, 16)
         cb = llama.HeadMajorQuantKVCache.create(CFG4, 2, 16)
+        cc = llama.HeadMajorQuantKVCache.create(CFG4, 2, 16)
         la, ca2 = mixed.decode_step_mixed(mp, toks, pos, ca, CFG4,
                                           interpret=True)
-        lb, cb2 = mixed.decode_step_mixed_segmented(mp, toks, pos, cb,
-                                                    CFG4, interpret=True)
+        # inline-KV segmented: bit-exact vs the switch path
+        lb, cb2 = mixed.decode_step_mixed_segmented(
+            mp, toks, pos, cb, CFG4, interpret=True, staged_kv=False)
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
         np.testing.assert_array_equal(np.asarray(ca2.k), np.asarray(cb2.k))
         np.testing.assert_array_equal(np.asarray(ca2.v), np.asarray(cb2.v))
+        # staged-KV segmented (the fast default): f32-rounding-equal
+        # logits, bit-identical committed codes
+        lc, cc2 = mixed.decode_step_mixed_segmented(
+            mp, toks, pos, cc, CFG4, interpret=True)
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(la),
+                                   rtol=2e-4, atol=2e-4)
+        assert (np.argmax(np.asarray(la), -1)
+                == np.argmax(np.asarray(lc), -1)).all()
+        np.testing.assert_array_equal(np.asarray(ca2.k), np.asarray(cc2.k))
+        np.testing.assert_array_equal(np.asarray(ca2.v), np.asarray(cc2.v))
 
     def test_prefill_matches_unrolled(self, mixed_model):
         mp = mixed.stack_layers_mixed(mixed_model)
