@@ -112,20 +112,19 @@ def main():
     pos = jnp.asarray([3, 100, 255, 77], jnp.int32)
     lay = jnp.asarray(1, jnp.int32)
     ref = AT.flash_decode_q8_xla(q, kc, vc, ks, vs, lay, pos)
+    # attention tolerances: Mosaic's VPU exp approximation differs from
+    # the XLA softmax at the ~2e-3 level (corruption shows at >=1e-1)
     check("flash_decode_q8 (row)",
-          AT.flash_decode_q8(q, kc, vc, ks, vs, lay, pos), 1e-5 and ref,
-          1e-5) if False else None
-    check("flash_decode_q8 (row)",
-          AT.flash_decode_q8(q, kc, vc, ks, vs, lay, pos), ref, 1e-5)
+          AT.flash_decode_q8(q, kc, vc, ks, vs, lay, pos), ref, 5e-3)
     kn = jax.random.normal(jax.random.PRNGKey(9), (B, KVH, D))
     vn = jax.random.normal(jax.random.PRNGKey(10), (B, KVH, D))
     check("flash_decode_q8_staged",
           AT.flash_decode_q8_staged(q, kc, vc, ks, vs, kn, vn, lay, pos),
           AT.flash_decode_q8_ab(q, kc, vc, ks, vs, kn, vn, lay, pos,
-                                staged=True), 1e-5)
+                                staged=True), 5e-3)
     check("flash_decode_q8_ab (inline)",
           AT.flash_decode_q8_ab(q, kc, vc, ks, vs, kn, vn, lay, pos),
-          ref, 1e-5)
+          ref, 5e-3)
     S = 128
     qp = jax.random.normal(jax.random.PRNGKey(11), (1, S, KVH, D))
     kp = jax.random.normal(jax.random.PRNGKey(12), (1, S, KVH, D))
@@ -135,7 +134,7 @@ def main():
     mask = jnp.where(causal, 0.0, -1e30)[None, None, None, :, :]
     check("flash_prefill",
           AT.flash_prefill(qp, kp, vp),
-          llama._attention(qp, kp, vp, mask), 1e-5)
+          llama._attention(qp, kp, vp, mask), 5e-3)
 
     # whole-step megakernel: Mosaic vs interpret at tiny-mha
     from bench import build_compressed_llama_params
