@@ -460,6 +460,7 @@ def main():
     # trip counts, which cancels fixed dispatch/readback overhead.
     fast_path = args.mode == "w4a8" and use_pallas
 
+    mega_prep = None
     if args.decode_path == "mega":
         from ee274_convexcaldera_llm_quantization_tpu.models import (
             persistent)
@@ -468,6 +469,11 @@ def main():
             raise SystemExit("--decode-path mega requires --fused "
                              "--int8-factors --flash-attn "
                              "--factor-kernel l")
+        # interleave the gate/up rows ONCE (the packed array is GB-scale;
+        # letting the jitted step do it would re-gather it every step)
+        mega_prep = persistent.prepare_gateup_interleaved(
+            params.layers.gateup, config.intermediate_size)
+        jax.block_until_ready(mega_prep.packed)
 
     @jax.jit
     def multi_step(params, n, cache):
@@ -477,7 +483,7 @@ def main():
             if args.decode_path == "mega":
                 logits, cache = persistent.decode_step_persistent(
                     params, tok, pos, cache, config,
-                    interpret=not use_pallas)
+                    interpret=not use_pallas, prep=mega_prep)
             elif args.fused:
                 staged = {"off": False, "on": True,
                           "uniform": "uniform"}[args.staged_kv]
