@@ -349,11 +349,15 @@ def main():
                              "whole-layer megakernel: the ENTIRE layer "
                              "stack in ONE pallas_call; requires MHA + "
                              "int8 'l'-layout factors)")
-    parser.add_argument("--attn-kernel", default="row",
-                        choices=["row", "ab"],
+    parser.add_argument("--attn-kernel", default="auto",
+                        choices=["auto", "row", "ab"],
                         help="flash decode-attention grid: 'row' (one "
                              "batch row per program) or 'ab' (all-batch "
-                             "row slabs per program, (B*KVH)-batched dots)")
+                             "row slabs, 128-wide token blocks). 'auto' "
+                             "picks the measured-best per context: row "
+                             "below 1024 (8.81 vs 8.94 ms at ctx 256), "
+                             "ab at long context (11.77 vs 12.38 ms at "
+                             "ctx 2048)")
     parser.add_argument("--head-pallas",
                         action=argparse.BooleanOptionalAction, default=False,
                         help="serve the int8 lm_head with the Pallas "
@@ -433,6 +437,8 @@ def main():
         # whose interpret mode drives the same head-major cache on CPU
         if not (args.decode_path == "mega" and args.fused):
             args.flash_attn = False
+    if args.attn_kernel == "auto":
+        args.attn_kernel = "ab" if args.context >= 1024 else "row"
 
     if args.phase == "prefill":
         _bench_prefill(args, params, config, backend, use_pallas)

@@ -45,7 +45,7 @@ class FastServingEngine(ServingEngine):
                  max_seq_len=None, interpret: bool = False, seed: int = 0,
                  kv_int8: bool = False, flash_attn: bool = False,
                  prefill_chunk: int = 0, staged_kv=None,
-                 attn_kernel: str = "row", mlp_kernel: bool = False):
+                 attn_kernel: str = "auto", mlp_kernel: bool = False):
         super().__init__(params, config, max_slots=max_slots,
                          max_seq_len=max_seq_len, use_pallas=True,
                          interpret=interpret, seed=seed)
@@ -57,6 +57,11 @@ class FastServingEngine(ServingEngine):
         # at per-slot positions, so the "uniform" lockstep commit does not
         # apply; its runtime guard would fall back every step anyway)
         self._staged = bool(flash_attn) if staged_kv is None else staged_kv
+        if attn_kernel == "auto":
+            # measured round 3: the all-batch kernel wins at long context
+            # (11.77 vs 12.38 ms/step at ctx 2048) and loses slightly at
+            # short (8.94 vs 8.81 at ctx 256)
+            attn_kernel = "ab" if self.max_seq_len >= 1024 else "row"
         self._attn_kernel = attn_kernel
         self._mlp_kernel = mlp_kernel
         self._chunk = int(prefill_chunk)
