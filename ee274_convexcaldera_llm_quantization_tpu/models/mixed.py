@@ -320,13 +320,85 @@ def mixed_segments(layers: MixedLayerStack, num_layers: int):
     return runs
 
 
+def prepare_fused_segments(params: MixedStackedParams,
+                           config: ModelConfig):
+    """Per-segment fused qkv / gate+up stacks for the segmented decode.
+
+    Within a uniform-width run, the q/k/v (resp. gate/up) projections can
+    be served exactly like the uniform fused path — ONE kernel launch and
+    ONE activation quantization per group instead of three — whenever
+    their container widths match. This builds, for each segment, a
+    :class:`fused.FusedW4A8Linear` over the segment's layers (int8
+    'l'-layout factors) or ``None`` when the widths differ / dense layers
+    are present. Build ONCE at load (GB-scale gathers at 13B); pass the
+    result to ``decode_step_mixed_segmented(fused_prep=...)``.
+
+    Fusion is EXACT: the int8 factor codes and scales concatenate
+    directly (R along the rank axis, L along N), so the fused group
+    computes bit-for-bit what the unfused buckets compute (modulo the
+    usual fused-vs-unfused f32 dot ordering). Segments whose projections
+    have non-int8 factors, unequal containers, or unaligned ranks stay
+    ``None`` (served unfused).
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        fused as fusedm)
+    from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
+
+    lp = params.layers
+    runs = mixed_segments(lp, config.num_layers)
+
+    def seg_lin(name, s, e, sig):
+        mp = getattr(lp, name)
+        b = mp.buckets[sig[name]]
+        i0 = mp.index_in_static[s]
+        return jax.tree.map(lambda a: a[i0:i0 + (e - s)], b)
+
+    def try_fuse(names, s, e, sig):
+        lins = [seg_lin(n, s, e, sig) for n in names]
+        if not all(isinstance(l, CalderaLinear) and l.mode == "w4a8"
+                   and l.b is None and l.L_scale is not None
+                   and l.R_scale is not None for l in lins):
+            return None
+        if len({l.num_bits for l in lins}) != 1:
+            return None
+        ranks = {l.L.shape[2] for l in lins}
+        if len(ranks) != 1 or next(iter(ranks)) % 128:
+            return None
+        splits = tuple(l.packed.shape[1] for l in lins)
+        rks = tuple(l.R.shape[1] for l in lins)
+        if not Kr.lr_stacked_supported(splits, rks):
+            return None
+        return fusedm.FusedW4A8Linear(
+            packed=jnp.concatenate([l.packed for l in lins], axis=1),
+            scales=jnp.concatenate([l.scales for l in lins], axis=1),
+            R=jnp.concatenate([l.R for l in lins], axis=1),
+            R_scale=jnp.concatenate([l.R_scale for l in lins], axis=1),
+            Ls=(),
+            L_scales=tuple(l.L_scale for l in lins),
+            L_cat=jnp.concatenate([l.L for l in lins], axis=1),
+            L_scale_cat=jnp.concatenate([l.L_scale for l in lins], axis=1),
+            global_scale=jnp.stack(
+                [l.global_scale.reshape(-1) for l in lins], axis=1),
+            b=None, num_bits=lins[0].num_bits, splits=splits, ranks=rks,
+            factor_kernel="l")
+
+    prep = []
+    for (s, e, sig) in runs:
+        prep.append({
+            "qkv": try_fuse(("q_proj", "k_proj", "v_proj"), s, e, sig),
+            "gateup": try_fuse(("gate_proj", "up_proj"), s, e, sig),
+        })
+    return prep
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "staged_kv"),
                    donate_argnames=("cache",))
 def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                                 pos: Array, cache, config: ModelConfig,
                                 interpret: bool = False,
-                                staged_kv: bool = True):
+                                staged_kv: bool = True,
+                                fused_prep=None):
     """Mixed-precision decode WITHOUT per-layer ``lax.switch``.
 
     Round 2 measured the switch dispatch at ~14 roofline points on the
@@ -364,7 +436,9 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                    jnp.zeros((Lk, B, KVH, D), jnp.int8),
                    jnp.zeros((Lk, B, KVH), jnp.float32))
 
-    def run_body(start, sig):
+    def run_body(start, sig, fp_run):
+        from ee274_convexcaldera_llm_quantization_tpu.models import (
+            fused as fusedm)
         base = {n: getattr(lp, n).index_in_static[start]
                 for n in _PROJ_NAMES}
 
@@ -382,12 +456,19 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                                               keepdims=False)
             y = llama.rms_norm(x[:, None, :], an,
                                config.rms_norm_eps)[:, 0]
-            q = apply("q_proj", l, y).reshape(
-                B, 1, config.num_heads, config.head_dim)
-            k = apply("k_proj", l, y).reshape(
-                B, 1, config.num_kv_heads, config.head_dim)
-            v = apply("v_proj", l, y).reshape(
-                B, 1, config.num_kv_heads, config.head_dim)
+            if fp_run is not None and fp_run["qkv"] is not None:
+                q, k, v = fusedm._apply_fused(fp_run["qkv"], l - start, y,
+                                              interpret)
+                q = q.reshape(B, 1, config.num_heads, config.head_dim)
+                k = k.reshape(B, 1, config.num_kv_heads, config.head_dim)
+                v = v.reshape(B, 1, config.num_kv_heads, config.head_dim)
+            else:
+                q = apply("q_proj", l, y).reshape(
+                    B, 1, config.num_heads, config.head_dim)
+                k = apply("k_proj", l, y).reshape(
+                    B, 1, config.num_kv_heads, config.head_dim)
+                v = apply("v_proj", l, y).reshape(
+                    B, 1, config.num_kv_heads, config.head_dim)
             q = llama.apply_rope(q, cos, sin)
             k = llama.apply_rope(k, cos, sin)
             kq, ksc = llama.quantize_kv(k[:, 0])
@@ -433,8 +514,12 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                                               keepdims=False)
             y = llama.rms_norm(x[:, None, :], mn,
                                config.rms_norm_eps)[:, 0]
-            gate = apply("gate_proj", l, y)
-            up = apply("up_proj", l, y)
+            if fp_run is not None and fp_run["gateup"] is not None:
+                gate, up = fusedm._apply_fused(fp_run["gateup"], l - start,
+                                               y, interpret)
+            else:
+                gate = apply("gate_proj", l, y)
+                up = apply("up_proj", l, y)
             x = x + apply("down_proj", l, jax.nn.silu(gate) * up)
             if staged_kv:
                 return x, cache, stg
@@ -443,8 +528,10 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
         return body
 
     carry = (x, cache, staging) if staged_kv else (x, cache)
-    for (start, end, sig) in runs:
-        carry = jax.lax.fori_loop(start, end, run_body(start, sig), carry)
+    for i, (start, end, sig) in enumerate(runs):
+        fp_run = fused_prep[i] if fused_prep is not None else None
+        carry = jax.lax.fori_loop(start, end,
+                                  run_body(start, sig, fp_run), carry)
     if staged_kv:
         x, cache, stg = carry
         sk, sks, sv, svs = stg

@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--segmented", action="store_true",
                     help="decode through decode_step_mixed_segmented "
                          "(uniform-width runs, no lax.switch)")
+    ap.add_argument("--fused-segments", action="store_true",
+                    help="additionally fuse qkv / gate+up within "
+                         "uniform-width segments (one kernel + one "
+                         "activation quantization per group)")
     ap.add_argument("--no-bench", action="store_true",
                     help="allocation + accounting only (no TPU timing)")
     args = ap.parse_args()
@@ -218,32 +222,49 @@ def main():
 
     step_fn = (mixed.decode_step_mixed_segmented if args.segmented
                else mixed.decode_step_mixed)
+    fused_prep = None
     if args.segmented:
         runs = mixed.mixed_segments(params.layers, L)
         results["segments"] = len(runs)
         print(f"# segmented decode: {len(runs)} uniform runs "
               f"{[(s, e) for s, e, _ in runs]}", file=sys.stderr,
               flush=True)
+        if args.fused_segments:
+            t0 = time.time()
+            fused_prep = mixed.prepare_fused_segments(params, config)
+            jax.block_until_ready(jax.tree.leaves(fused_prep))
+            nfused = sum((p["qkv"] is not None) + (p["gateup"] is not None)
+                         for p in fused_prep)
+            results["fused_segment_groups"] = nfused
+            print(f"# fused segments: {nfused}/{2 * len(runs)} groups "
+                  f"fused in {time.time() - t0:.0f}s", file=sys.stderr,
+                  flush=True)
 
     @jax.jit
-    def multi_step(params, n, cache):
+    def multi_step(params, fused_prep, n, cache):
         def body(i, carry):
             cache, tok, acc = carry
             pos = jnp.full((B,), pos0 + i, jnp.int32)
-            logits, cache = step_fn(
-                params, tok, pos, cache, config, interpret=not use_pallas)
+            if args.segmented:
+                logits, cache = step_fn(
+                    params, tok, pos, cache, config,
+                    interpret=not use_pallas, fused_prep=fused_prep)
+            else:
+                logits, cache = step_fn(
+                    params, tok, pos, cache, config,
+                    interpret=not use_pallas)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return cache, tok, acc + jnp.sum(logits) * jnp.float32(1e-9)
         return jax.lax.fori_loop(0, n, body, (cache, tokens,
                                               jnp.float32(0)))[2]
 
     t0 = time.time()
-    float(multi_step(params, 1, cache))
+    float(multi_step(params, fused_prep, 1, cache))
     compile_s = time.time() - t0
     print(f"# multi_step compiled in {compile_s:.1f}s", file=sys.stderr,
           flush=True)
-    dt = slope(lambda n: float(multi_step(params, n, cache)), 8,
-               8 + args.steps)
+    dt = slope(lambda n: float(multi_step(params, fused_prep, n, cache)),
+               8, 8 + args.steps)
     tok_s = B / dt
 
     # mixed-width HBM roofline: container bytes + bf16 factors + embed/head

@@ -158,6 +158,71 @@ class TestMixedDecode:
         np.testing.assert_array_equal(np.asarray(ca2.k), np.asarray(cc2.k))
         np.testing.assert_array_equal(np.asarray(ca2.v), np.asarray(cc2.v))
 
+    def test_fused_segments_match(self):
+        # uniform-width MHA model with lane-aligned rank: segments fuse
+        # qkv / gate+up; output must match the unfused segmented path to
+        # the (documented) factor re-quantization noise
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import (
+            TINY_MHA)
+        params = llama.init_params(jax.random.PRNGKey(3), TINY_MHA)
+        rng = np.random.default_rng(5)
+
+        def conv(lp):
+            fields = {}
+            for name in llama.LayerParams._fields:
+                lin = getattr(lp, name)
+                if not isinstance(lin, DenseLinear) or \
+                        name.endswith("_norm"):
+                    fields[name] = lin
+                    continue
+                m, k = lin.w.shape
+                r = 128
+                Lf = jnp.asarray(
+                    rng.normal(size=(m, r)).astype(np.float32) * 0.05)
+                Rf = jnp.asarray(
+                    rng.normal(size=(r, k)).astype(np.float32) * 0.05)
+                fields[name] = compress_linear(
+                    lin.w.astype(jnp.float32), Lf, Rf, 4,
+                    global_scale=1.0, bias=lin.b, mode="w4a8")
+            return llama.LayerParams(**fields)
+
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed \
+            import quantize_factors_int8
+        model = llama.ModelParams(
+            embed=params.embed,
+            layers=[conv(lp) for lp in params.layers],
+            final_norm=params.final_norm, lm_head=params.lm_head)
+        mp = mixed.stack_layers_mixed(model)
+        # int8 factors (the serving config; exact fusion requires them)
+        import dataclasses as dc
+
+        def q8(proj):
+            return dc.replace(proj, buckets=tuple(
+                quantize_factors_int8(b) if isinstance(b, CalderaLinear)
+                else b for b in proj.buckets))
+
+        mp = mp._replace(layers=mp.layers._replace(
+            **{n: q8(getattr(mp.layers, n))
+               for n in ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_proj", "up_proj", "down_proj")}))
+        prep = mixed.prepare_fused_segments(mp, TINY_MHA)
+        assert any(p["qkv"] is not None for p in prep)
+        assert any(p["gateup"] is not None for p in prep)
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([2, 3], jnp.int32)
+        ca = llama.HeadMajorQuantKVCache.create(TINY_MHA, 2, 16)
+        cb = llama.HeadMajorQuantKVCache.create(TINY_MHA, 2, 16)
+        la, _ = mixed.decode_step_mixed_segmented(
+            mp, toks, pos, ca, TINY_MHA, interpret=True)
+        lb, _ = mixed.decode_step_mixed_segmented(
+            mp, toks, pos, cb, TINY_MHA, interpret=True, fused_prep=prep)
+        # fusion concatenates the int8 factor codes/scales directly, so
+        # only the fused-vs-unfused f32 dot ordering differs
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=2e-4, atol=2e-4)
+        assert (np.argmax(np.asarray(la), -1)
+                == np.argmax(np.asarray(lb), -1)).all()
+
     def test_prefill_matches_unrolled(self, mixed_model):
         mp = mixed.stack_layers_mixed(mixed_model)
         toks = jax.random.randint(jax.random.PRNGKey(9), (1, 6), 0,
