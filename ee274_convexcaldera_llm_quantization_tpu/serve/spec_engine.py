@@ -82,6 +82,8 @@ class SpeculativeServingEngine(FastServingEngine):
         self.accept_ewma = None          # per-token acceptance estimate
         self.gamma_current = self.gamma
         self._ticks_since_spec = 0
+        self.spec_rounds = 0
+        self.accepted_tokens = 0
 
     def _sync_draft_positions(self) -> None:
         """Keep the draft cache current during plain-decode fallback: one
@@ -114,8 +116,6 @@ class SpeculativeServingEngine(FastServingEngine):
             if rate > best_rate * 1.02:  # hysteresis: switch on >2% gain
                 best_g, best_rate = g, rate
         return best_g
-        self.spec_rounds = 0
-        self.accepted_tokens = 0
 
     def validate(self, req: Request) -> None:
         # the verify window can write gamma positions past the last emitted

@@ -116,8 +116,8 @@ def main():
             ck = os.path.join(td, name.replace(" ", "_"))
             print(f"# compress {name}...", file=sys.stderr, flush=True)
             rep = run(["compress", "--model", hf_dir, "--hessians", hess,
-                       *bits_args, "--rank", "16", "--iters", "3",
-                       "--lplr-iters", "3", "--q-update", "ldlq",
+                       *bits_args, "--rank", "16", "--iters", "2",
+                       "--lplr-iters", "2", "--q-update", "ldlq",
                        "--serving-mode", "w4a8",
                        "--serving-quant", squant, "--output", ck])
             ev = run(["eval", "--checkpoint", ck, "--tokens", tok_path,
