@@ -221,3 +221,31 @@ class TestLRStackedFused:
         assert not K.lr_stacked_supported((4096, 4096), (64, 64))
         assert K.lr_stacked_supported((4096,), (64,))
         assert not K.lr_stacked_supported((128, 64), (128, 128))
+
+
+class TestChipSmoke:
+    def test_chip_smoke_all_kernels(self):
+        """Mosaic compile-smoke of EVERY Pallas kernel on real hardware.
+
+        The CI suite pins JAX to CPU (conftest), where interpret mode
+        cannot catch Mosaic lowering bugs — two of which CORRUPTED
+        silently in rounds 2-3. On a machine with the TPU attached, run
+        with CCQ_CHIP_SMOKE=1 (or invoke scripts/chip_smoke.py directly)
+        to execute the full kernel-vs-twin matrix on chip.
+        """
+        import json
+        import os
+        import subprocess
+        import sys
+        if not os.environ.get("CCQ_CHIP_SMOKE"):
+            pytest.skip("chip smoke needs real TPU; set CCQ_CHIP_SMOKE=1")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS",)}
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "scripts",
+                                          "chip_smoke.py")],
+            capture_output=True, text=True, timeout=3000, env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec["chip_smoke_ok"] == rec["total"]
