@@ -164,6 +164,30 @@ class TestMegastep:
                     / jnp.linalg.norm(logits_ref))
         assert rel < 1e-5, rel
 
+    def test_full_batch_rows(self):
+        # B = 8 (the bench batch): every row must decode correctly (the
+        # Mosaic sub-8-row concat miscompile corrupted row 1 at B=2; the
+        # expansion-matmul fix must hold rows 0..7)
+        cfg = TINY_MHA
+        fp = _compressed_fused(cfg, seed=4)
+        B = 8
+        toks = jnp.arange(1, B + 1, dtype=jnp.int32)
+        pos = jnp.full((B,), 5, jnp.int32)
+        ca = llama.HeadMajorQuantKVCache.create(cfg, B, 128)
+        cb = llama.HeadMajorQuantKVCache.create(cfg, B, 128)
+        la, ca2 = fusedm.decode_step_fused(fp, toks, pos, ca, cfg,
+                                           interpret=True, staged_kv=True)
+        lb, cb2 = persistent.decode_step_persistent(fp, toks, pos, cb, cfg,
+                                                    interpret=True,
+                                                    staged_kv="on")
+        assert (np.argmax(np.asarray(la), -1)
+                == np.argmax(np.asarray(lb), -1)).all()
+        np.testing.assert_array_equal(np.asarray(ca2.k[0]),
+                                      np.asarray(cb2.k[0]))
+        per_row = np.linalg.norm(np.asarray(lb - la), axis=-1) \
+            / np.maximum(np.linalg.norm(np.asarray(la), axis=-1), 1e-9)
+        assert (per_row < 0.05).all(), per_row
+
     def test_uniform_commit_guard_ragged(self):
         # "uniform" with ragged positions must still commit correctly
         cfg = TINY_MHA
