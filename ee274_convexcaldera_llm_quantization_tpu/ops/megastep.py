@@ -75,10 +75,10 @@ class _Plan:
                  bnd: int = 128, rchunk: int = 512,
                  kv_slab_budget: int = 1 << 20):
         # VMEM budget note: the 16 MB scoped-vmem limit is the binding
-        # constraint at the llama2-7b shape (first compile OOM'd by 680 KB
-        # with bn=256 / rchunk=1024); 128-wide output blocks, 512-col R
-        # chunks, a bf16 gate scratch, and (B, h) x0/xout leave ~2.5 MB
-        # headroom. KVHb must be a multiple of 8 (or the full KVH): the
+        # constraint at the llama2-7b shape (three OOM iterations recorded
+        # in MEASUREMENTS_r3.md); 512-col R chunks, the bf16 silu-mul
+        # staging, (B, h) x0/xout, a 256-col gate+up chunk, and the
+        # chunked DQ pass fit with ~1 MB headroom. KVHb must be a multiple of 8 (or the full KVH): the
         # scale blocks carry it second-minor.
         f = _pack_factor(num_bits)
         self.h, self.im, self.qdim, self.kvdim = h, im, qdim, kvdim
@@ -793,9 +793,9 @@ def megastep(x0: Array, pos: Array,
             pltpu.VMEM((B, qdim), jnp.float32),        # vf staging
             pltpu.VMEM((TM, 128), jnp.float32),        # attn running max
             pltpu.VMEM((TM, 128), jnp.float32),        # attn running sum
-            pltpu.VMEM((TM, im), jnp.bfloat16),        # gate intermediate
+            pltpu.VMEM((TM, im), jnp.bfloat16),        # silu-mul staging (m)
             pltpu.VMEM((TM, im), jnp.int8),            # m8
-            pltpu.VMEM((TM, 128), jnp.float32),        # sm (group scales)
+            pltpu.VMEM((TM, 128), jnp.float32),        # per-gu-block absmax
             pltpu.VMEM((TM, rank), jnp.float32),       # xrd
         ],
     )
