@@ -439,6 +439,10 @@ def main():
             args.flash_attn = False
     if args.attn_kernel == "auto":
         args.attn_kernel = "ab" if args.context >= 1024 else "row"
+    if not args.flash_attn:
+        # the ab kernel needs the head-major cache; decode_step_fused
+        # raises (rather than silently falling back) if asked otherwise
+        args.attn_kernel = "row"
 
     if args.phase == "prefill":
         _bench_prefill(args, params, config, backend, use_pallas)

@@ -426,6 +426,16 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
     """
     if attn_kernel not in ("row", "ab"):
         raise ValueError(f"unknown attn_kernel {attn_kernel!r}")
+    if attn_kernel == "ab" and not isinstance(cache, HeadMajorQuantKVCache):
+        # silently falling back to the XLA attention would misattribute
+        # any A/B result to the wrong kernel (same rationale as the
+        # attn_o_kernel+attn_dots guard below)
+        raise ValueError("attn_kernel='ab' requires a HeadMajorQuantKVCache "
+                         f"(got {type(cache).__name__})")
+    if attn_kernel == "ab" and attn_o_kernel:
+        raise ValueError("attn_kernel='ab' and attn_o_kernel=True are "
+                         "mutually exclusive (the fused attention+o "
+                         "megakernel uses the row grid)")
     quant_kv = isinstance(cache, QuantKVCache)
     head_major = isinstance(cache, HeadMajorQuantKVCache)
     B = tokens.shape[0]

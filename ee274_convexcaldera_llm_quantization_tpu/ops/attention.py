@@ -693,6 +693,42 @@ def flash_decode_q8_xla(q: Array, k: Array, v: Array, ks: Array, vs: Array,
     return jnp.einsum("bhgt,bhtd->bhgd", pv, vl.astype(jnp.float32))
 
 
+def flash_decode_q8_staged_xla(q: Array, k: Array, v: Array, ks: Array,
+                               vs: Array, k_new: Array, v_new: Array,
+                               layer: Array, pos: Array) -> Array:
+    """XLA twin of :func:`flash_decode_q8_staged` (exact softmax).
+
+    Attends cache tokens ``< pos`` (dequantized int8) plus the staged
+    current token ``k_new/v_new`` in f32 at position ``pos`` — the same
+    math as the staged Pallas kernel, so chip-smoke checks compare Mosaic
+    output against an XLA reference rather than another Pallas kernel
+    (ADVICE r3: two kernels sharing a Mosaic lowering bug would pass a
+    kernel-vs-kernel check).
+    """
+    B, KVH, G, D = q.shape
+    kl = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+    ksl = jax.lax.dynamic_index_in_dim(ks, layer, 0, keepdims=False)
+    vsl = jax.lax.dynamic_index_in_dim(vs, layer, 0, keepdims=False)
+    kn = k_new if k_new.ndim == 3 else jax.lax.dynamic_index_in_dim(
+        k_new, layer, 0, keepdims=False)
+    vn = v_new if v_new.ndim == 3 else jax.lax.dynamic_index_in_dim(
+        v_new, layer, 0, keepdims=False)
+    T = kl.shape[2]
+    qf = q.astype(jnp.float32)
+    logits = jnp.einsum("bhgd,bhtd->bhgt", qf, kl.astype(jnp.float32))
+    logits = logits * (ksl[:, :, None, :] / jnp.sqrt(jnp.float32(D)))
+    valid = jnp.arange(T)[None, None, None, :] < pos[:, None, None, None]
+    logits = jnp.where(valid, logits, _NEG_INF)
+    cur = jnp.einsum("bhgd,bhd->bhg", qf,
+                     kn.astype(jnp.float32)) / jnp.sqrt(jnp.float32(D))
+    logits = jnp.concatenate([logits, cur[..., None]], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pv = probs[..., :T] * vsl[:, :, None, :]
+    out = jnp.einsum("bhgt,bhtd->bhgd", pv, vl.astype(jnp.float32))
+    return out + probs[..., T:] * vn.astype(jnp.float32)[:, :, None, :]
+
+
 def _flash_attn_o_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
                          vs_ref, kn_ref, vn_ref, ow_ref, os_ref, oR_ref,
                          oRs_ref, oL_ref, oLs_ref, o_ref,

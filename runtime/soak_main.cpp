@@ -95,9 +95,13 @@ int main(int argc, char** argv) {
           auto& p = prefixes[rng() % prefixes.size()];
           int32_t r = ccq_seq_create_cached(alloc, uids[i], p.data(),
                                             (int32_t)p.size());
-          if (r < 0) {  // OOM: roll the admission back via finish
-            ccq_seq_create(alloc, uids[i], 1);  // minimal seq, may fail
+          if (r < 0) {  // OOM on cached create: try a minimal sequence
+            r = ccq_seq_create(alloc, uids[i], 1);
+            if (r < 0) {  // still OOM: roll the admission back
+              ccq_sched_finish(sched, alloc, uids[i]);
+              continue;
             }
+          }
           active.insert(uids[i]);
         }
       } else {

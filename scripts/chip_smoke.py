@@ -118,10 +118,14 @@ def main():
           AT.flash_decode_q8(q, kc, vc, ks, vs, lay, pos), ref, 5e-3)
     kn = jax.random.normal(jax.random.PRNGKey(9), (B, KVH, D))
     vn = jax.random.normal(jax.random.PRNGKey(10), (B, KVH, D))
+    staged_ref = AT.flash_decode_q8_staged_xla(q, kc, vc, ks, vs, kn, vn,
+                                               lay, pos)
     check("flash_decode_q8_staged",
           AT.flash_decode_q8_staged(q, kc, vc, ks, vs, kn, vn, lay, pos),
+          staged_ref, 5e-3)
+    check("flash_decode_q8_ab (staged)",
           AT.flash_decode_q8_ab(q, kc, vc, ks, vs, kn, vn, lay, pos,
-                                staged=True), 5e-3)
+                                staged=True), staged_ref, 5e-3)
     check("flash_decode_q8_ab (inline)",
           AT.flash_decode_q8_ab(q, kc, vc, ks, vs, kn, vn, lay, pos),
           ref, 5e-3)

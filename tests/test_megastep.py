@@ -2,8 +2,9 @@
 
 The megakernel must reproduce decode_step_fused's staged-KV decode to
 float-accumulation noise (its only intentional numerics change is the
-FINER per-(row, 128-group) quantization of the gate/up->down
-intermediate), and its committed KV cache must match bit-exactly.
+bf16-staged, per-ROW int8 requantization of the gate/up->down
+intermediate — one scale per row, absmax on the f32 values), and its
+committed KV cache must match bit-exactly.
 """
 
 import numpy as np
@@ -80,11 +81,11 @@ class TestMegastep:
         lb, cb2 = persistent.decode_step_persistent(fp, toks, pos, cb, cfg,
                                                     interpret=True,
                                                     staged_kv="on")
-        # the megakernel's gate/up->down intermediate quantization is
-        # per-(row, 128-group) — finer than the fused path's per-row, so
-        # logits agree only to int8-quantization noise (~1-3% rel); the
-        # tight exactness check against the per-group spec is
-        # test_mlp_matches_per_group_reference
+        # the megakernel's gate/up->down intermediate stages through bf16
+        # before its per-row int8 requant (fused path requants the f32
+        # values directly), so logits agree only to quantization noise
+        # (~1-3% rel); the tight exactness check against the per-row spec
+        # is test_mlp_matches_requant_reference
         rel = (np.linalg.norm(np.asarray(lb - la))
                / max(np.linalg.norm(np.asarray(la)), 1e-9))
         assert rel < 0.05, rel
