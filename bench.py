@@ -403,9 +403,26 @@ def main():
                              ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # min_compile_time 0: the remote-compile relay can return from
+        # backend.compile() quickly and pay the real compile at first
+        # execution, so a >5s threshold on JAX's *measured* compile time
+        # silently skips the cache write for exactly the programs that
+        # most need caching (round-3 driver bench: 387s wall, no entry
+        # written)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Drop source locations from lowered modules: Pallas Mosaic
+        # payloads embed MLIR loc info that survives the cache-key
+        # debug-info stripping, so ANY edit that shifts line numbers on
+        # the trace path (bench.py itself, models/fused.py, ...) used to
+        # change the key and cold-miss the driver run (measured round 4:
+        # 5 blank lines inserted above the bench loop changed the key;
+        # with these two settings the key is line-shift invariant).
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
+    import warnings as _warnings
+    _warnings.simplefilter("always")
     import jax.numpy as jnp
     from ee274_convexcaldera_llm_quantization_tpu.models import (
         fused as fusedm, llama, stacked)
@@ -517,19 +534,69 @@ def main():
         out = jax.lax.fori_loop(0, n, body, (cache, tokens, jnp.float32(0)))
         return out[2]
 
-    t0 = time.time()
-    float(multi_step(params, 1, cache))
-    compile_s = time.time() - t0
+    # Persistent-cache instrumentation (rounds 2-3 driver benches paid
+    # cold compiles while local runs were warm, with no cache entry
+    # written — ROOT CAUSE, measured round 4: the remote-compile relay
+    # defers the real compile to first execution, so JAX's *measured*
+    # backend.compile() time is seconds even for a 6-minute compile; the
+    # old min_compile_time=5.0 threshold therefore skipped the cache
+    # write exactly when the relay's server-side cache made the compile
+    # look fast, and the driver — hitting a cold server — re-paid the
+    # full compile with nothing persisted. Fixed by min_compile_time=0
+    # above; the explain_cache_misses warnings (captured here) print the
+    # real cache key on miss/write so the driver log is self-explaining.
+    import logging as _logging
+    import re as _re
+
+    class _CacheLogTap(_logging.Handler):
+        def __init__(self):
+            super().__init__(_logging.DEBUG)
+            self.lines = []
+
+        def emit(self, record):
+            self.lines.append(record.getMessage())
+
+    _tap = _CacheLogTap()
+    _cache_loggers = [_logging.getLogger(n) for n in
+                      ("jax._src.compiler", "jax._src.compilation_cache")]
+    _old_levels = [_lg.level for _lg in _cache_loggers]
+    for _lg in _cache_loggers:
+        _lg.addHandler(_tap)
+        _lg.setLevel(_logging.DEBUG)
+    try:
+        with _warnings.catch_warnings(record=True) as _wlist:
+            _warnings.simplefilter("always")
+            t0 = time.time()
+            float(multi_step(params, 1, cache))
+            compile_s = time.time() - t0
+    finally:
+        for _lg, _lv in zip(_cache_loggers, _old_levels):
+            _lg.removeHandler(_tap)
+            _lg.setLevel(_lv)
+    _miss_key = _hit = None
+    for _msg in _tap.lines + [str(_w.message) for _w in _wlist]:
+        _m = _re.search(r"key '(jit_multi_step-[0-9a-f]+)'", _msg)
+        if _m and "MISS" in _msg:
+            _miss_key = _m.group(1)
+        elif _m and "cache hit" in _msg:
+            _hit = _m.group(1)
+        if "cache" in _msg.lower() and "multi_step" in _msg:
+            print(f"# [cache] {_msg}", file=sys.stderr, flush=True)
     print(f"# multi_step compiled in {compile_s:.1f}s", file=sys.stderr,
           flush=True)
-    # persistent-cache diagnostic (round 2's driver bench paid a 263 s
-    # compile despite a pre-warm: the headline executable was never
-    # written to .jax_cache — surface hit/miss state so the miss cause is
-    # visible in the driver log)
     try:
         ents = [f for f in os.listdir(cache_dir) if "multi_step" in f]
-        print(f"# jax_cache multi_step entries: {len(ents)} "
-              f"(compile {'<60s => cache HIT' if compile_s < 60 else 'cold'})",
+        if _hit is not None:
+            state = f"HIT key {_hit.split('-')[1][:16]}..."
+        elif _miss_key is None:
+            state = "no hit/miss record (in-process tracing cache?)"
+        else:
+            written = os.path.exists(
+                os.path.join(cache_dir, f"{_miss_key}-cache"))
+            state = (f"MISS key {_miss_key.split('-')[1][:16]}... "
+                     f"written_post={written}")
+        print(f"# jax_cache multi_step entries: {len(ents)} {state} "
+              f"(compile {'<60s' if compile_s < 60 else 'COLD'})",
               file=sys.stderr, flush=True)
     except OSError:
         pass

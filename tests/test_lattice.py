@@ -86,11 +86,47 @@ class TestEncode:
         rng = np.random.default_rng(2)
         y = (1.3 * rng.normal(size=(256, 8))).astype(np.float32)
         cb = jnp.asarray(lat.e8p_codebook())
-        idx = np.asarray(lat.e8p_encode(jnp.asarray(y), cb))
+        idx = np.asarray(lat.e8p_encode(jnp.asarray(y), cb, exact=True))
         bf = np.asarray(lat._brute_force_encode(jnp.asarray(y), cb))
         d_idx = ((y - np.asarray(cb)[idx.astype(int)]) ** 2).sum(1)
         d_bf = ((y - np.asarray(cb)[bf.astype(int)]) ** 2).sum(1)
         np.testing.assert_allclose(d_idx, d_bf, atol=1e-5)
+
+    def test_default_encode_near_exact(self):
+        # the default (local-search) encode must return valid codewords
+        # that are exact for in-ball rows and within a small MSE excess of
+        # brute force overall, at every load factor the scale search uses
+        rng = np.random.default_rng(5)
+        cb = jnp.asarray(lat.e8p_codebook())
+        cbn = np.asarray(cb)
+        for scale, max_excess in ((0.5, 1e-6), (0.8, 2e-3), (1.0, 5e-3),
+                                  (1.3, 1.5e-2)):
+            y = (scale * rng.normal(size=(2048, 8))).astype(np.float32)
+            idx = np.asarray(lat.e8p_encode(jnp.asarray(y), cb)).astype(int)
+            bf = np.asarray(lat._brute_force_encode(
+                jnp.asarray(y), cb)).astype(int)
+            d_l = ((y - cbn[idx]) ** 2).sum(1)
+            d_b = ((y - cbn[bf]) ** 2).sum(1)
+            # never better than optimal, and only marginally worse
+            assert (d_l >= d_b - 1e-5).all()
+            excess = (d_l.sum() - d_b.sum()) / d_b.sum()
+            assert excess <= max_excess, (scale, excess)
+            # in-ball rows (C&S point is a codebook member) are exact
+            pts = np.asarray(lat.nearest_e8(jnp.asarray(y) - 0.25)) + 0.25
+            inb = (pts * pts).sum(1) <= 10.5 + 1e-6
+            np.testing.assert_allclose(d_l[inb], d_b[inb], atol=1e-5)
+
+    def test_e8_roots(self):
+        roots = lat.e8_roots()
+        assert roots.shape == (240, 8)
+        np.testing.assert_allclose((roots ** 2).sum(1), 2.0)
+        # all roots are E8 vectors: integer (even sum) or half-integer
+        half = np.all(np.abs(np.abs(roots) - 0.5) < 1e-6, axis=1)
+        ints = np.all(np.abs(roots - np.round(roots)) < 1e-6, axis=1)
+        assert np.all(half | ints)
+        s = np.where(half, (roots - 0.5).sum(1), roots.sum(1))
+        assert np.all(np.round(s).astype(int) % 2 == 0)
+        assert len(np.unique(roots.round(2), axis=0)) == 240
 
 
 class TestBlockQuantization:
