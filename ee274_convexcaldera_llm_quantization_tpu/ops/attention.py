@@ -751,7 +751,7 @@ def _flash_attn_o_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
     and the o R-slab copy per layer.
     """
     from ee274_convexcaldera_llm_quantization_tpu.ops.kernels import (
-        _pack_factor, _unpack_plane_unsigned)
+        _pack_factor, _unpack_chunk_planes)
 
     del l_ref
     j = pl.program_id(0)
@@ -874,12 +874,11 @@ def _flash_attn_o_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
         acc = jnp.zeros((TM, TN), jnp.int32)
         for c in range(plane_len // o_chunk):
             chunk = ow_ref[0, :, c * o_chunk:(c + 1) * o_chunk]
-            chunk = chunk.astype(jnp.int32)
-            for p in range(f):
-                if f == 1:
-                    u = (chunk - maxq).astype(jnp.int8)
-                else:
-                    u = _unpack_plane_unsigned(chunk, p, num_bits, f)
+            if f == 1:
+                planes = [(chunk.astype(jnp.int32) - maxq).astype(jnp.int8)]
+            else:
+                planes = _unpack_chunk_planes(chunk, num_bits)
+            for p, u in enumerate(planes):
                 koff = p * plane_len + c * o_chunk
                 acc += jax.lax.dot_general(
                     xq[:, koff:koff + o_chunk], u,

@@ -59,7 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ee274_convexcaldera_llm_quantization_tpu.ops.kernels import (
-    _pack_factor, _unpack_plane_unsigned)
+    _pack_factor, _unpack_chunk_planes)
 
 Array = jax.Array
 
@@ -200,9 +200,8 @@ def _megastep_kernel(pos_ref, lastb_ref, gs_ref,
         TN = w_ref.shape[1]
         acc = jnp.zeros((TM, TN), jnp.int32)
         for c in range(plane // chunk):
-            ch = w_ref[0, :, c * chunk:(c + 1) * chunk].astype(jnp.int32)
-            for pp in range(f):
-                u = _unpack_plane_unsigned(ch, pp, P.num_bits, f)
+            ch = w_ref[0, :, c * chunk:(c + 1) * chunk]
+            for pp, u in enumerate(_unpack_chunk_planes(ch, P.num_bits)):
                 koff = pp * plane + c * chunk
                 acc += jax.lax.dot_general(
                     xq[:, koff:koff + chunk], u,
