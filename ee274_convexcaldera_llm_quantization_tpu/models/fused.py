@@ -369,6 +369,13 @@ def _apply_mlp_mega(lp: FusedLayerStack, l: Array, y: Array,
                                               keepdims=False)
 
 
+def _tp_sum(v: Array, tp_axis: Optional[str]) -> Array:
+    """Complete a row-parallel partial product under tensor parallelism
+    (no-op single-chip). Mirrors ``stacked._row_out``; bias-freedom of the
+    row-parallel projections is validated once at the top of the step."""
+    return v if tp_axis is None else jax.lax.psum(v, tp_axis)
+
+
 def _attn_o_kernel_supported(params: FusedStackedParams,
                              config: ModelConfig) -> bool:
     """Whether the fused attention+o megakernel can serve this model: MHA
@@ -387,7 +394,7 @@ def _attn_o_kernel_supported(params: FusedStackedParams,
                    static_argnames=("config", "interpret", "staged_kv",
                                     "mlp_kernel", "attn_o_kernel",
                                     "attn_dots", "head_pallas",
-                                    "attn_kernel"),
+                                    "attn_kernel", "tp_axis"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
@@ -396,7 +403,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       attn_o_kernel: bool = False,
                       attn_dots: str = "f32",
                       head_pallas: bool = False,
-                      attn_kernel: str = "row"):
+                      attn_kernel: str = "row",
+                      tp_axis: Optional[str] = None):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
@@ -423,9 +431,26 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
     (:func:`ops.attention.flash_decode_q8_ab`), which attends every row's
     token block in one program with (B * KVH)-batched dots. Same math to
     f32 reduction order.
+
+    ``tp_axis`` (inside ``shard_map`` only — see ``parallel.tp_fused``):
+    Megatron-style tensor parallelism. ``config`` and the param shapes are
+    per-shard (column-parallel qkv/gateup rows, exactly-repacked K-shards
+    for o/down); the o_proj and down_proj contributions are partial
+    products completed with one ``psum`` each per layer. Row-parallel
+    projections must be bias-free (a per-shard bias would be summed
+    ``tp`` times).
     """
     if attn_kernel not in ("row", "ab"):
         raise ValueError(f"unknown attn_kernel {attn_kernel!r}")
+    if tp_axis is not None:
+        if attn_o_kernel or mlp_kernel:
+            raise ValueError("tp_axis does not support the attn_o/mlp "
+                             "megakernels (their fused o/down contraction "
+                             "would need an in-kernel psum)")
+        if (params.layers.o_proj.b is not None
+                or params.layers.down_proj.b is not None):
+            raise ValueError("row-parallel o/down projections cannot carry "
+                             "a bias under tensor parallelism")
     if attn_kernel == "ab" and not isinstance(cache, HeadMajorQuantKVCache):
         # silently falling back to the XLA attention would misattribute
         # any A/B result to the wrong kernel (same rationale as the
@@ -604,16 +629,17 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                                                keepdims=False)
             x = x + oout * gso
         else:
-            x = x + _apply_plain(lp.o_proj, l, attn, interpret,
-                                 lp.qkv.factor_kernel)
+            x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
+                                         lp.qkv.factor_kernel), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         if mlp_kernel:
             x = x + _apply_mlp_mega(lp, l, y, interpret)
         else:
             gate, up = _apply_fused(lp.gateup, l, y, interpret)
-            x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                                 interpret, lp.qkv.factor_kernel)
+            x = x + _tp_sum(
+                _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                             interpret, lp.qkv.factor_kernel), tp_axis)
         if staged_kv:
             return x, cache, stg
         return x, cache
@@ -810,20 +836,28 @@ def prefill_chunk_fused(params: FusedStackedParams, tokens: Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret", "flash"),
+                   static_argnames=("config", "interpret", "flash",
+                                    "tp_axis"),
                    donate_argnames=("cache",))
 def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
                             slot: Array, cache, config: ModelConfig,
                             interpret: bool = False,
                             last_pos: Optional[Array] = None,
-                            flash: bool = False):
+                            flash: bool = False,
+                            tp_axis: Optional[str] = None):
     """Prefill one (1, S) prompt into ``slot`` on the fused path.
 
     ``flash=True`` computes the causal self-attention with the flash
     prefill Pallas kernel (:func:`ops.attention.flash_prefill`) — online
     softmax in VMEM instead of a materialized (1, KVH, G, S, S) f32 logits
     tensor, which dominates HBM traffic at long prompts.
+
+    ``tp_axis``: as in :func:`decode_step_fused` (shard_map-local call).
     """
+    if tp_axis is not None and (params.layers.o_proj.b is not None
+                                or params.layers.down_proj.b is not None):
+        raise ValueError("row-parallel o/down projections cannot carry a "
+                         "bias under tensor parallelism")
     quant_kv = isinstance(cache, QuantKVCache)
     head_major = isinstance(cache, HeadMajorQuantKVCache)
     S = tokens.shape[1]
@@ -887,13 +921,14 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
                 jax.lax.dynamic_update_slice(
                     cache.v, v.astype(cache.v.dtype)[None],
                     (l, slot, 0, 0, 0)))
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
-                             lp.qkv.factor_kernel)
+        x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
+                                     lp.qkv.factor_kernel), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
-        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret, lp.qkv.factor_kernel)
+        x = x + _tp_sum(
+            _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                         interpret, lp.qkv.factor_kernel), tp_axis)
         return x, cache
 
     x, cache = jax.lax.fori_loop(0, config.num_layers, body, (x, cache))

@@ -729,6 +729,134 @@ def flash_decode_q8_staged_xla(q: Array, k: Array, v: Array, ks: Array,
     return out + probs[..., T:] * vn.astype(jnp.float32)[:, :, None, :]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "dots"))
+def flash_decode_q8_paged(q: Array, k: Array, v: Array, ks: Array,
+                          vs: Array, k_new: Array, v_new: Array,
+                          layer: Array, page_tables: Array, pos: Array,
+                          interpret: bool = False,
+                          dots: str = "f32") -> Array:
+    """Flash decode attention over a PAGED head-major int8 KV pool.
+
+    Same online-softmax kernel as :func:`flash_decode_q8_staged` — the
+    only change is the grid spec: the pool is ``(L, num_pages, KVH,
+    page_size, D)`` and the (B, max_pages) ``page_tables`` ride as a
+    THIRD scalar-prefetch argument, so each token block's BlockSpec
+    index_map resolves the logical block ``t`` of row ``b`` to physical
+    page ``page_tables[b, t]`` — the page walk costs nothing at compute
+    time (the DMA engine fetches the right page directly from HBM).
+    Logical token ``j`` of row ``b`` lives at page ``j // page_size``,
+    offset ``j % page_size``; the pool holds tokens ``< pos[b]`` and the
+    current token's K/V arrive pre-dequantized as ``k_new/v_new``
+    ((B, KVH, D) or layer-stacked (L, B, KVH, D)), exactly as in the
+    staged kernel.
+
+    Block == page: one grid step per (row, page). TPU-first paging wants
+    LARGE pages (>= 128 tokens) — at the measured ~0.9 us/program floor,
+    16-token pages would cost ~8x the grid-step overhead of the
+    contiguous 256-token blocks. Beyond-reference capability: the
+    reference has no serving path at all (``main.py:197-199``
+    materializes dense weights back into the HF module).
+    """
+    B, KVH, G, D = q.shape
+    block_t = k.shape[3]                  # page size
+    max_pages = page_tables.shape[1]
+    scale = 1.0 / (D ** 0.5)
+    if k_new.ndim == 3:                   # (B, KVH, D) current-layer form
+        k_new = k_new[:, None]
+        v_new = v_new[:, None]
+        new_spec = pl.BlockSpec((1, 1, KVH, D),
+                                lambda b, t, L, P, PT: (b, 0, 0, 0))
+    else:
+        new_spec = pl.BlockSpec((1, 1, KVH, D),
+                                lambda b, t, L, P, PT: (L[0], b, 0, 0))
+
+    def _page(b, t, P, PT):
+        last = jnp.maximum(P[b] - 1, 0) // block_t
+        return PT[b, jnp.minimum(t, last)]
+
+    def _kv_idx(b, t, L, P, PT):
+        return (L[0], _page(b, t, P, PT), 0, 0, 0)
+
+    def _sc_idx(b, t, L, P, PT):
+        return (L[0], _page(b, t, P, PT), 0, 0)
+
+    def _kernel(l_ref, pos_ref, pt_ref, *rest):
+        del pt_ref            # consumed by the index maps only
+        _flash_decode_q8_staged_kernel(l_ref, pos_ref, *rest,
+                                       block_t=block_t, scale=scale,
+                                       dots=dots)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, KVH, G, D),
+                         lambda b, t, L, P, PT: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            pl.BlockSpec((1, 1, KVH, block_t, D), _kv_idx),
+            pl.BlockSpec((1, 1, KVH, block_t), _sc_idx),
+            new_spec,
+            new_spec,
+        ],
+        out_specs=pl.BlockSpec((1, KVH, G, D),
+                               lambda b, t, L, P, PT: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, G, 128), jnp.float32),
+            pltpu.VMEM((KVH, G, 128), jnp.float32),
+            pltpu.VMEM((KVH, G, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(pos, jnp.int32),
+      jnp.asarray(page_tables, jnp.int32),
+      q.astype(jnp.float32), k, ks.astype(jnp.float32), v,
+      vs.astype(jnp.float32), k_new.astype(jnp.float32),
+      v_new.astype(jnp.float32))
+    return out
+
+
+def flash_decode_q8_paged_xla(q: Array, k: Array, v: Array, ks: Array,
+                              vs: Array, k_new: Array, v_new: Array,
+                              layer: Array, page_tables: Array,
+                              pos: Array) -> Array:
+    """XLA twin of :func:`flash_decode_q8_paged` (exact softmax): gather
+    each row's logical context through its page table, then run the
+    staged reference math."""
+    B, KVH, G, D = q.shape
+    P = k.shape[3]
+    max_pages = page_tables.shape[1]
+    kl = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+    ksl = jax.lax.dynamic_index_in_dim(ks, layer, 0, keepdims=False)
+    vsl = jax.lax.dynamic_index_in_dim(vs, layer, 0, keepdims=False)
+    # (B, max_pages, KVH, P, D) -> (B, KVH, T, D)
+    kg = kl[page_tables].transpose(0, 2, 1, 3, 4).reshape(
+        B, KVH, max_pages * P, D)
+    vg = vl[page_tables].transpose(0, 2, 1, 3, 4).reshape(
+        B, KVH, max_pages * P, D)
+    ksg = ksl[page_tables].transpose(0, 2, 1, 3).reshape(
+        B, KVH, max_pages * P)
+    vsg = vsl[page_tables].transpose(0, 2, 1, 3).reshape(
+        B, KVH, max_pages * P)
+    kn = k_new if k_new.ndim == 3 else jax.lax.dynamic_index_in_dim(
+        k_new, layer, 0, keepdims=False)
+    vn = v_new if v_new.ndim == 3 else jax.lax.dynamic_index_in_dim(
+        v_new, layer, 0, keepdims=False)
+    return flash_decode_q8_staged_xla(
+        q, kg[None], vg[None], ksg[None], vsg[None], kn, vn,
+        jnp.asarray(0), pos)
+
+
 def _flash_attn_o_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
                          vs_ref, kn_ref, vn_ref, ow_ref, os_ref, oR_ref,
                          oRs_ref, oL_ref, oLs_ref, o_ref,

@@ -25,18 +25,45 @@ from ee274_convexcaldera_llm_quantization_tpu.serve.runtime import (
 
 
 class PagedServingEngine:
+    """Paged continuous batching.
+
+    ``params`` selects the serving path:
+
+    - :class:`models.fused.FusedStackedParams` (round 4, the headline
+      step): fused W4A8 Pallas projections, int8 paged KV pool
+      (:class:`serve.paged.PagedQuantKVPool`), paged flash decode
+      attention with the page table as scalar prefetch, staged commits.
+      The pool carries ONE extra scratch page the allocator never hands
+      out (inactive batch rows' commits land there — dynamic_update_slice
+      clamps instead of dropping OOB writes). Prefer ``page_size >= 128``:
+      the paged flash kernel runs one grid step per (row, page).
+    - plain :class:`models.llama.ModelParams`: the original XLA-gather
+      bf16 path (kept for unquantized-KV serving).
+    """
+
     def __init__(self, params, config: ModelConfig, max_slots: int = 8,
                  num_pages: int = 256, page_size: int = 16,
                  max_pages_per_seq: Optional[int] = None,
                  use_pallas: bool = False, interpret: bool = False,
                  seed: int = 0, prefix_cache: bool = False):
+        from ee274_convexcaldera_llm_quantization_tpu.models.fused import (
+            FusedStackedParams)
         self.params = params
         self.config = config
         self.max_slots = max_slots
         self.page_size = page_size
         self.max_pages = max_pages_per_seq or (
             config.max_seq_len + page_size - 1) // page_size
-        self.pool = paged.PagedKVPool.create(config, num_pages, page_size)
+        self.fused = isinstance(params, FusedStackedParams)
+        if self.fused:
+            # one extra pool page as the inactive-row scratch target
+            self.pool = paged.PagedQuantKVPool.create(
+                config, num_pages + 1, page_size)
+            self.scratch_page = num_pages
+        else:
+            self.pool = paged.PagedKVPool.create(config, num_pages,
+                                                 page_size)
+            self.scratch_page = None
         self.allocator = PageAllocator(num_pages, page_size)
         self.sched = NativeScheduler(max_slots, self.allocator)
         self.use_pallas = use_pallas
@@ -103,11 +130,23 @@ class PagedServingEngine:
                     uid, np.asarray(req.prompt, np.int32))
             pt = self._padded_table(uid)
             if cached > 0:
-                logits, self.pool = paged.paged_prefill_suffix(
-                    self.params,
-                    jnp.asarray(req.prompt[cached:], jnp.int32)[None, :],
-                    jnp.asarray(cached, jnp.int32), self.pool, pt,
-                    self.config, self.use_pallas, self.interpret)
+                if self.fused:
+                    logits, self.pool = paged.paged_prefill_suffix_fused(
+                        self.params,
+                        jnp.asarray(req.prompt[cached:], jnp.int32)[None, :],
+                        jnp.asarray(cached, jnp.int32), self.pool, pt,
+                        self.config, self.interpret)
+                else:
+                    logits, self.pool = paged.paged_prefill_suffix(
+                        self.params,
+                        jnp.asarray(req.prompt[cached:], jnp.int32)[None, :],
+                        jnp.asarray(cached, jnp.int32), self.pool, pt,
+                        self.config, self.use_pallas, self.interpret)
+            elif self.fused:
+                logits, self.pool = paged.paged_prefill_fused(
+                    self.params, jnp.asarray(req.prompt, jnp.int32)[None, :],
+                    self.pool, pt, self.config, self.interpret,
+                    flash=self.use_pallas)
             else:
                 logits, self.pool = paged.paged_prefill(
                     self.params, jnp.asarray(req.prompt, jnp.int32)[None, :],
@@ -149,10 +188,16 @@ class PagedServingEngine:
         active = np.zeros(B, bool)
         for uid in uids:
             active[self._slot_of[uid]] = True
-        logits, self.pool = paged.paged_decode_step(
-            self.params, jnp.asarray(tokens), jnp.asarray(pos), self.pool,
-            jnp.asarray(tables), self.config, self.use_pallas,
-            self.interpret, active=jnp.asarray(active))
+        if self.fused:
+            logits, self.pool = paged.paged_decode_step_fused(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
+                self.pool, jnp.asarray(tables), self.config, self.interpret,
+                active=jnp.asarray(active), scratch_page=self.scratch_page)
+        else:
+            logits, self.pool = paged.paged_decode_step(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
+                self.pool, jnp.asarray(tables), self.config,
+                self.use_pallas, self.interpret, active=jnp.asarray(active))
         temps = np.zeros(B, np.float32)
         ks = np.zeros(B, np.int32)
         ps = np.ones(B, np.float32)

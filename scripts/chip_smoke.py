@@ -129,6 +129,24 @@ def main():
     check("flash_decode_q8_ab (inline)",
           AT.flash_decode_q8_ab(q, kc, vc, ks, vs, kn, vn, lay, pos),
           ref, 5e-3)
+    # paged flash decode: pool (L, NP, KVH, P, D), page table prefetch
+    NP, PG = 10, 128
+    kpool = jax.random.randint(jax.random.PRNGKey(14), (2, NP, KVH, PG, D),
+                               -127, 128, jnp.int8)
+    vpool = jax.random.randint(jax.random.PRNGKey(15), (2, NP, KVH, PG, D),
+                               -127, 128, jnp.int8)
+    kps = jax.random.uniform(jax.random.PRNGKey(16), (2, NP, KVH, PG),
+                             jnp.float32, 0.005, 0.02)
+    vps = jax.random.uniform(jax.random.PRNGKey(17), (2, NP, KVH, PG),
+                             jnp.float32, 0.005, 0.02)
+    pt = jnp.asarray(np.random.default_rng(0).permutation(NP)[:B * 2]
+                     .reshape(B, 2), jnp.int32)
+    ppos = jnp.asarray([0, 60, 255, 130], jnp.int32)
+    check("flash_decode_q8_paged",
+          AT.flash_decode_q8_paged(q, kpool, vpool, kps, vps, kn, vn, lay,
+                                   pt, ppos),
+          AT.flash_decode_q8_paged_xla(q, kpool, vpool, kps, vps, kn, vn,
+                                       lay, pt, ppos), 5e-3)
     S = 128
     qp = jax.random.normal(jax.random.PRNGKey(11), (1, S, KVH, D))
     kp = jax.random.normal(jax.random.PRNGKey(12), (1, S, KVH, D))

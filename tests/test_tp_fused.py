@@ -1,0 +1,155 @@
+"""Tensor parallelism on the HEADLINE fused decode path (tp_fused):
+equivalence vs the single-device fused step, generation consistency, and
+the column-group permutation — on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from ee274_convexcaldera_llm_quantization_tpu.models import (
+    fused as fusedm, llama, stacked)
+from ee274_convexcaldera_llm_quantization_tpu.models.config import TINY
+from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+    CalderaLinear, compress_linear)
+from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+    compress_model)
+from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+    CalderaParams)
+from ee274_convexcaldera_llm_quantization_tpu.parallel import tp_fused as TPF
+
+
+@pytest.fixture(scope="module")
+def fused_model():
+    params = llama.init_params(jax.random.PRNGKey(0), TINY)
+    cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=8, iters=1,
+                       lplr_iters=1)
+    qparams, _ = compress_model(params, cp)
+
+    def convert(lp):
+        fields = {}
+        for name in llama.LayerParams._fields:
+            lin = getattr(lp, name)
+            if isinstance(lin, CalderaLinear):
+                W = (lin.materialize() / lin.global_scale
+                     - lin.L.astype(jnp.float32) @ lin.R.astype(jnp.float32))
+                fields[name] = compress_linear(
+                    W, lin.L.astype(jnp.float32), lin.R.astype(jnp.float32),
+                    lin.num_bits, global_scale=float(lin.global_scale),
+                    bias=lin.b, mode="w4a8")
+            else:
+                fields[name] = lin
+        return llama.LayerParams(**fields)
+
+    model = llama.ModelParams(embed=qparams.embed,
+                              layers=[convert(lp) for lp in qparams.layers],
+                              final_norm=qparams.final_norm,
+                              lm_head=qparams.lm_head)
+    st = stacked.stack_layers(model)
+    return fusedm.quantize_factors_int8_fused(fusedm.fuse_stacked(st))
+
+
+@pytest.fixture(scope="module")
+def mesh2():
+    return Mesh(np.asarray(jax.devices()[:2]), ("tp",))
+
+
+def test_group_permutation_roundtrip():
+    splits = (8, 4, 4)
+    perm = TPF._group_permutation(splits, 2)
+    # shard 0 must hold the first half of each projection, in order
+    assert list(perm[:8]) == list(range(0, 4)) + list(range(8, 10)) \
+        + list(range(12, 14))
+    assert sorted(perm) == list(range(16))
+
+
+class TestFusedTPDecode:
+    def test_decode_matches_single_device(self, fused_model, mesh2):
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([3, 5], jnp.int32)
+        ref, _ = fusedm.decode_step_fused(
+            fused_model, toks, pos,
+            llama.HeadMajorQuantKVCache.create(TINY, 2, 16), TINY,
+            interpret=True, staged_kv="uniform")
+        tp_params = TPF.shard_fused_model_tp(fused_model, mesh2)
+        tp_cache = TPF.shard_headmajor_cache_tp(
+            llama.HeadMajorQuantKVCache.create(TINY, 2, 16), mesh2)
+        out, tp_cache = TPF.decode_step_fused_tp(
+            tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
+        assert out.shape == ref.shape
+        # weights are bit-identical under the exact repack; only the
+        # per-K-shard int8 activation absmax differs on o/down inputs
+        rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+               / np.linalg.norm(np.asarray(ref)))
+        assert rel < 0.05, rel
+        assert (np.argmax(np.asarray(out), -1)
+                == np.argmax(np.asarray(ref), -1)).all()
+
+    def test_decode_cache_matches_single_device(self, fused_model, mesh2):
+        toks = jnp.asarray([1, 2], jnp.int32)
+        pos = jnp.asarray([3, 3], jnp.int32)
+        _, cref = fusedm.decode_step_fused(
+            fused_model, toks, pos,
+            llama.HeadMajorQuantKVCache.create(TINY, 2, 16), TINY,
+            interpret=True, staged_kv="uniform")
+        tp_params = TPF.shard_fused_model_tp(fused_model, mesh2)
+        tp_cache = TPF.shard_headmajor_cache_tp(
+            llama.HeadMajorQuantKVCache.create(TINY, 2, 16), mesh2)
+        _, tp_cache = TPF.decode_step_fused_tp(
+            tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
+        # qkv weights bit-identical and activations replicated => the
+        # written K/V codes agree up to int8 rounding of identical floats
+        ref = np.asarray(cref.k, np.float32)
+        got = np.asarray(jax.device_get(tp_cache.k), np.float32)
+        rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+        assert rel < 0.05, rel
+
+    def test_prefill_then_decode_generation(self, fused_model):
+        # tp=2 is the ceiling for TINY (2 kv heads shard the cache)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("tp",))
+        toks = jax.random.randint(jax.random.PRNGKey(7), (1, 6), 0,
+                                  TINY.vocab_size)
+        cache = llama.HeadMajorQuantKVCache.create(TINY, 1, 16)
+        logits, cache = fusedm.prefill_into_slot_fused(
+            fused_model, toks, jnp.asarray(0), cache, TINY, interpret=True)
+        ref_seq = [int(jnp.argmax(logits))]
+        pos = 6
+        for _ in range(3):
+            lg, cache = fusedm.decode_step_fused(
+                fused_model, jnp.asarray([ref_seq[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache, TINY, interpret=True,
+                staged_kv="uniform")
+            ref_seq.append(int(jnp.argmax(lg[0])))
+            pos += 1
+        tp_params = TPF.shard_fused_model_tp(fused_model, mesh)
+        tp_cache = TPF.shard_headmajor_cache_tp(
+            llama.HeadMajorQuantKVCache.create(TINY, 1, 16), mesh)
+        logits, tp_cache = TPF.prefill_into_slot_fused_tp(
+            tp_params, toks, jnp.asarray(0), tp_cache, TINY, mesh,
+            interpret=True)
+        tp_seq = [int(jnp.argmax(logits))]
+        pos = 6
+        for _ in range(3):
+            lg, tp_cache = TPF.decode_step_fused_tp(
+                tp_params, jnp.asarray([tp_seq[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), tp_cache, TINY, mesh,
+                interpret=True)
+            tp_seq.append(int(jnp.argmax(lg[0])))
+            pos += 1
+        assert tp_seq == ref_seq
+
+    def test_row_parallel_bias_rejected(self, fused_model, mesh2):
+        import dataclasses
+        lp = fused_model.layers
+        bad_down = dataclasses.replace(
+            lp.down_proj, b=jnp.zeros(lp.down_proj.packed.shape[:2],
+                                      jnp.float32))
+        bad = fusedm.FusedStackedParams(
+            embed=fused_model.embed,
+            layers=fusedm.FusedLayerStack(
+                attn_norm=lp.attn_norm, qkv=lp.qkv, o_proj=lp.o_proj,
+                mlp_norm=lp.mlp_norm, gateup=lp.gateup, down_proj=bad_down),
+            final_norm=fused_model.final_norm, lm_head=fused_model.lm_head)
+        with pytest.raises(ValueError, match="bias"):
+            TPF.shard_fused_model_tp(bad, mesh2)
