@@ -131,6 +131,20 @@ def dequant_serving_xla(packed: jax.Array, scales: jax.Array, num_bits: int,
 # Fused dequant-matmul Pallas kernel
 # ---------------------------------------------------------------------------
 
+
+def resolve_block_n(block_n, num_bits: int = 4) -> int:
+    """Default output-block rows for the serving kernels.
+
+    Measured round 4 (e2e headline step, B8 ctx256): 512-row blocks beat
+    256 by ~2% (8.05 vs 8.20 ms/step — half the grid steps at a marginal
+    ~0.12 us/program) and 1024 regresses (coarser double-buffering);
+    the 2-bit container prefers 256 (its unpack output is 4x the packed
+    block). Callers pass ``block_n=None`` to get these defaults.
+    """
+    if block_n is not None:
+        return block_n
+    return 256 if num_bits == 2 else 512
+
 def _pick_chunk(plane_len: int, group: int, block_n: int,
                 budget_bytes: int = 2 * 1024 * 1024) -> int:
     """Bytes of packed data to unpack per inner step: a divisor of the plane
@@ -212,7 +226,7 @@ def quantized_matmul(
     num_bits: int,
     group_size: Optional[int] = None,
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``y = x @ dequant(packed, scales).T`` with in-kernel unpacking.
@@ -227,7 +241,7 @@ def quantized_matmul(
     N = packed.shape[0]
     assert packed.shape[1] * f == K, (packed.shape, K, f)
     assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
-    block_n = min(block_n, N)
+    block_n = min(resolve_block_n(block_n, num_bits), N)
     while N % block_n:
         block_n //= 2
     plane_len = K // f
@@ -441,7 +455,7 @@ def quantized_matmul_w4a8(
     row_scales: jax.Array,
     num_bits: int,
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``y ~= x @ dequant(packed, row_scales).T`` on the int8 MXU.
@@ -455,7 +469,7 @@ def quantized_matmul_w4a8(
     N = packed.shape[0]
     assert packed.shape[1] * f == K
     assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
-    block_n = min(block_n, N)
+    block_n = min(resolve_block_n(block_n, num_bits), N)
     while N % block_n:
         block_n //= 2
     plane_len = K // f
@@ -542,7 +556,7 @@ def quantized_matmul_w4a8_stacked(
     layer: jax.Array,        # () or (1,) int32
     num_bits: int,
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """W4A8 matmul against layer ``layer`` of a stacked weight tensor.
@@ -556,7 +570,7 @@ def quantized_matmul_w4a8_stacked(
     N = packed.shape[1]
     assert packed.shape[2] * f == K
     assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
-    block_n = min(block_n, N)
+    block_n = min(resolve_block_n(block_n, num_bits), N)
     while N % block_n:
         block_n //= 2
     plane_len = K // f
@@ -691,7 +705,7 @@ def _qmm_w4a8_lr_stacked_kernel(l_ref, pid_ref, xq_ref, y_ref, w_ref, s_ref,
 
 
 def lr_stacked_supported(splits: Tuple[int, ...], ranks: Tuple[int, ...],
-                         block_n: int = 256) -> bool:
+                         block_n: Optional[int] = None) -> bool:
     """Whether the fused-factor stacked kernel supports this fusion group:
     uniform rank, lane-aligned rank windows (or a single projection), and a
     reasonable (>= 128) common output block size."""
@@ -699,7 +713,7 @@ def lr_stacked_supported(splits: Tuple[int, ...], ranks: Tuple[int, ...],
         return False
     if len(splits) > 1 and ranks[0] % 128 != 0:
         return False
-    block_n = min(block_n, min(splits))
+    block_n = min(resolve_block_n(block_n), min(splits))
     while any(n % block_n for n in splits):
         block_n //= 2
     return block_n >= 128
@@ -722,7 +736,7 @@ def quantized_matmul_w4a8_lr_stacked(
     rank: int,
     splits: Tuple[int, ...],
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """W4A8 + low-rank matmul against layer ``layer``: one kernel computes
@@ -739,7 +753,7 @@ def quantized_matmul_w4a8_lr_stacked(
     assert packed.dtype == jnp.uint8, packed.dtype  # p==0 unpack relies on zero-extension
     assert sum(splits) == N and L_cat.shape[1] == N
     assert R.shape[1] == len(splits) * rank
-    block_n = min(block_n, min(splits))
+    block_n = min(resolve_block_n(block_n, num_bits), min(splits))
     while any(n % block_n for n in splits):
         block_n //= 2
     plane_len = K // f
@@ -871,7 +885,7 @@ def quantized_matmul_w4a8_l_stacked(
     rank: int,
     splits: Tuple[int, ...],
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """W4A8 matmul + L-factor add against layer ``layer``: one kernel
@@ -886,7 +900,7 @@ def quantized_matmul_w4a8_l_stacked(
     assert packed.dtype == jnp.uint8, packed.dtype
     assert sum(splits) == N and L_cat.shape[1] == N
     assert xr.shape == (M, len(splits) * rank), (xr.shape, splits, rank)
-    block_n = min(block_n, min(splits))
+    block_n = min(resolve_block_n(block_n, num_bits), min(splits))
     while any(n % block_n for n in splits):
         block_n //= 2
     plane_len = K // f
@@ -1107,7 +1121,7 @@ def quantized_matmul_w4a8_mlp_stacked(
     num_bits: int,
     rank: int,
     block_m: int = 128,
-    block_n: int = 256,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Whole-MLP W4A8 decode: ``down(silu(gate(x)) * up(x))`` in ONE Pallas
@@ -1223,7 +1237,7 @@ def bf16_matmul_stacked(
     W: jax.Array,            # (layers, N, K) bf16
     layer: jax.Array,        # () int32
     block_m: int = 128,
-    block_n: int = 512,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``y = x @ W[layer].T`` with scalar-prefetch layer selection.
@@ -1235,7 +1249,7 @@ def bf16_matmul_stacked(
     """
     M, K = x.shape
     N = W.shape[1]
-    block_n = min(block_n, N)
+    block_n = min(resolve_block_n(block_n), N)
     while N % block_n:
         block_n //= 2
     TM = min(block_m, _round_up(M, 16))
@@ -1289,14 +1303,14 @@ def int8_matmul(
     w_int8: jax.Array,
     row_scales: jax.Array,
     block_m: int = 128,
-    block_n: int = 512,
+    block_n: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """``y = x @ (row_scales * w_int8).T`` with int8 weights fed straight to
     the MXU (signed codes, no unpack)."""
     M, K = x.shape
     N = w_int8.shape[0]
-    block_n = min(block_n, N)
+    block_n = min(resolve_block_n(block_n), N)
     while N % block_n:
         block_n //= 2
     xq, sx = quantize_activations_int8(x)
