@@ -40,6 +40,12 @@ def render(h: dict) -> str:
            if "decode_13b" in h else "")
         + ").",
     ]
+    if "decode_7b_2bit" in h:
+        b2 = h["decode_7b_2bit"]
+        lines.append(
+            f"The 2-bit serving config (uniform-2-bit Q + int8 rank-128 "
+            f"factors, ~{b2['total_bits']} TOTAL bits/param — the quality "
+            f"flagship's rate regime) decodes at {b2['tok_s']} tok/s.")
     if "quality_2bit" in h:
         q = h["quality_2bit"]
         lines.append(
