@@ -130,19 +130,63 @@ def cmd_calibrate(args):
     print(json.dumps({"layers": len(hs), "output": args.output}))
 
 
+def _all_w4a8(params) -> bool:
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        CalderaLinear)
+    return all(
+        isinstance(getattr(lp, name), CalderaLinear)
+        and getattr(lp, name).mode == "w4a8"
+        for lp in params.layers
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                     "up_proj", "down_proj"))
+
+
+def _as_fused(params):
+    """Stack + fuse a fully-w4a8-compressed model for the headline serving
+    path; returns None when any projection is not w4a8 (dense / grouped
+    models keep the reference-fidelity engines)."""
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        fused as fusedm, stacked)
+
+    if not _all_w4a8(params):
+        return None
+    st = stacked.stack_layers(params)
+    return fusedm.quantize_factors_int8_fused(fusedm.fuse_stacked(st))
+
+
 def cmd_serve(args):
+    import jax
     import numpy as np
     from ee274_convexcaldera_llm_quantization_tpu.serve.engine import (
         Request, ServingEngine)
 
     params, config = _load_model(args)
+    # the fast/paged engines run Pallas kernels: interpret off-TPU
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
     if args.engine == "paged":
         from ee274_convexcaldera_llm_quantization_tpu.serve.paged_engine import (
             PagedServingEngine)
+        # a fully-w4a8 model gets the headline fused paged path (int8
+        # pool + paged flash attention) automatically
+        fused = _as_fused(params)
         eng = PagedServingEngine(
-            params, config, max_slots=args.max_slots,
+            fused if fused is not None else params, config,
+            max_slots=args.max_slots,
             num_pages=args.num_pages, page_size=args.page_size,
-            max_pages_per_seq=-(-args.max_seq_len // args.page_size))
+            max_pages_per_seq=-(-args.max_seq_len // args.page_size),
+            interpret=interpret)
+    elif args.engine == "fast":
+        from ee274_convexcaldera_llm_quantization_tpu.models import stacked
+        from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
+            FastServingEngine)
+        if not _all_w4a8(params):
+            raise SystemExit("--engine fast requires a fully-w4a8 "
+                             "compressed model (ccq compress "
+                             "--serving-mode w4a8)")
+        eng = FastServingEngine(stacked.stack_layers(params), config,
+                                max_slots=args.max_slots,
+                                max_seq_len=args.max_seq_len,
+                                interpret=interpret)
     else:
         eng = ServingEngine(params, config, max_slots=args.max_slots,
                             max_seq_len=args.max_seq_len)
@@ -237,7 +281,7 @@ def main(argv=None):
     p.add_argument("--prompt-len", type=int, default=32)
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--engine", default="slotted",
-                   choices=["slotted", "paged"])
+                   choices=["slotted", "paged", "fast"])
     p.add_argument("--num-pages", type=int, default=256)
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--http-port", type=int, default=None,

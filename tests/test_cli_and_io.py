@@ -160,6 +160,30 @@ class TestCLI:
         params, config = load_params(out)
         assert config == TINY
 
+    def test_serve_fast_and_paged_fused_engines(self, capsys, tmp_path):
+        """A w4a8-compressed checkpoint served through --engine fast and
+        --engine paged (which auto-fuses to the headline paged path)."""
+        out = str(tmp_path / "model")
+        cli.main(["compress", "--model", "tiny", "--q-bits", "4",
+                  "--rank", "4", "--iters", "1", "--lplr-iters", "1",
+                  "--serving-mode", "w4a8", "--output", out])
+        capsys.readouterr()
+        for engine in ("fast", "paged"):
+            cli.main(["serve", "--checkpoint", out, "--engine", engine,
+                      "--num-requests", "2", "--prompt-len", "4",
+                      "--max-new-tokens", "3", "--max-seq-len", "32",
+                      "--num-pages", "8", "--page-size", "16"])
+            rec = json.loads(capsys.readouterr().out.strip()
+                             .splitlines()[-1])
+            assert rec["requests"] == 2
+            assert rec["tokens"] == 6
+
+    def test_serve_fast_rejects_uncompressed(self, capsys):
+        with pytest.raises(SystemExit, match="w4a8"):
+            cli.main(["serve", "--model", "tiny", "--engine", "fast",
+                      "--num-requests", "1", "--prompt-len", "4",
+                      "--max-new-tokens", "2", "--max-seq-len", "32"])
+
 
 class TestHeadlineDrift:
     def test_readme_headline_matches_headline_json(self):
