@@ -298,8 +298,8 @@ def _bench_spec(args, params, config, backend, use_pallas):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="llama2-7b",
-                        choices=["llama2-7b", "llama2-13b", "qwen2-0.5b",
-                                 "tiny", "tiny-mha"])
+                        choices=["llama2-7b", "llama2-13b", "llama3-8b",
+                                 "qwen2-0.5b", "tiny", "tiny-mha"])
     parser.add_argument("--bits", type=int, default=4)
     parser.add_argument("--rank", type=int, default=128)
     parser.add_argument("--batch", type=int, default=8)

@@ -46,6 +46,14 @@ LLAMA2_13B = ModelConfig(
     num_layers=40, num_heads=40, num_kv_heads=40, head_dim=128,
     max_seq_len=4096)
 
+# Llama-3-8B-shaped: grouped-query attention (8 kv heads, kv_groups=4)
+# and a 128k vocab — exercises the G>1 flash-attention path and the
+# vocab-heavy int8 head at serving scale.
+LLAMA3_8B = ModelConfig(
+    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+    num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+    rope_theta=500000.0, max_seq_len=8192)
+
 # Language tower of llava-hf/llava-onevision-qwen2-0.5b-ov-hf: Qwen2-0.5B
 # (hidden 896, 24 layers, 14 heads / 2 KV heads, MLP 4864, qkv bias) —
 # matches the diag_Hessians.pt layer inventory (SURVEY.md section 2.9).
@@ -74,6 +82,7 @@ TINY_MHA = ModelConfig(
 PRESETS = {
     "llama2-7b": LLAMA2_7B,
     "llama2-13b": LLAMA2_13B,
+    "llama3-8b": LLAMA3_8B,
     "qwen2-0.5b": QWEN2_0_5B,
     "tiny": TINY,
     "tiny-mha": TINY_MHA,
