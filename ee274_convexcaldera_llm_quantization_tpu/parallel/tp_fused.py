@@ -273,3 +273,58 @@ def prefill_into_slot_fused_tp(params: FusedStackedParams, tokens: Array,
         out_specs=(P(axis), cspecs),
         check_vma=False,
     )(params, tokens, jnp.asarray(slot), cache, jnp.asarray(last_pos))
+
+
+def _pool_spec(axis: str):
+    """Paged pools shard the kv-head axis (dim 2 of (L, NP, KVH, P, D))."""
+    from ee274_convexcaldera_llm_quantization_tpu.serve.paged import (
+        PagedQuantKVPool)
+    return PagedQuantKVPool(
+        k=P(None, None, axis, None, None),
+        v=P(None, None, axis, None, None),
+        k_scale=P(None, None, axis, None),
+        v_scale=P(None, None, axis, None))
+
+
+def shard_paged_pool_tp(pool, mesh: Mesh, axis: str = "tp"):
+    """Place a paged int8 KV pool with kv heads sharded over the tp axis.
+    Page numbering is replicated — every shard holds the same pages for
+    ITS heads, so the host-side allocator/page tables are unchanged."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        pool, _pool_spec(axis))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "axis", "interpret", "scratch_page"))
+def paged_decode_step_fused_tp(params: FusedStackedParams, tokens: Array,
+                               pos: Array, pool, page_tables: Array,
+                               config: ModelConfig, mesh: Mesh,
+                               axis: str = "tp", interpret: bool = False,
+                               active=None, scratch_page=None):
+    """Tensor-parallel paged decode on the headline fused path — the
+    multi-host serving composition (BASELINE configs 4-5): vLLM-style
+    paging AND Megatron TP on the same step. ``params`` from
+    :func:`shard_fused_model_tp`, ``pool`` from
+    :func:`shard_paged_pool_tp`; page tables are host-side and
+    replicated. Returns (vocab-sharded logits, pool)."""
+    from ee274_convexcaldera_llm_quantization_tpu.serve import paged
+
+    cfg_local = _local_config(config, mesh.shape[axis])
+    pspecs = fused_param_specs(params, axis)
+    poolspec = _pool_spec(axis)
+
+    def local_fn(params, tokens, pos, pool, page_tables, active):
+        return paged.paged_decode_step_fused(
+            params, tokens, pos, pool, page_tables, cfg_local,
+            interpret=interpret, active=active, scratch_page=scratch_page,
+            tp_axis=axis)
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pspecs, P(None), P(None), poolspec, P(None),
+                  P(None) if active is not None else None),
+        out_specs=(P(None, axis), poolspec),
+        check_vma=False,
+    )(params, tokens, pos, pool, page_tables, active)

@@ -287,7 +287,8 @@ def paged_prefill_suffix(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret", "scratch_page"))
+                   static_argnames=("config", "interpret", "scratch_page",
+                                    "tp_axis"))
 def paged_decode_step_fused(
     params,                  # models.fused.FusedStackedParams
     tokens: Array,           # (B,) current token per slot
@@ -298,6 +299,7 @@ def paged_decode_step_fused(
     interpret: bool = False,
     active: Optional[Array] = None,   # (B,) bool
     scratch_page: Optional[int] = None,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[Array, PagedQuantKVPool]:
     """One decode step on the headline fused path over the paged pool.
 
@@ -317,7 +319,10 @@ def paged_decode_step_fused(
         _apply_fused, _apply_plain, _tp_sum)
     from ee274_convexcaldera_llm_quantization_tpu.ops import attention as AT
 
-    del _tp_sum
+    if tp_axis is not None and (params.layers.o_proj.b is not None
+                                or params.layers.down_proj.b is not None):
+        raise ValueError("row-parallel o/down projections cannot carry a "
+                         "bias under tensor parallelism")
     if active is not None and scratch_page is None:
         raise ValueError("active masking requires scratch_page (size the "
                          "pool with one page the allocator never uses)")
@@ -358,13 +363,14 @@ def paged_decode_step_fused(
         attn = AT.flash_decode_q8_paged(
             qh, pool.k, pool.v, pool.k_scale, pool.v_scale, kf, vf, l,
             page_tables, pos, interpret=interpret).reshape(B, config.q_dim)
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
-                             lp.qkv.factor_kernel)
+        x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
+                                     lp.qkv.factor_kernel), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
-        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret, lp.qkv.factor_kernel)
+        x = x + _tp_sum(
+            _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                         interpret, lp.qkv.factor_kernel), tp_axis)
         return x, stg
 
     x, stg = jax.lax.fori_loop(0, config.num_layers, body, (x, staging))

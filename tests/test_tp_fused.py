@@ -153,3 +153,56 @@ class TestFusedTPDecode:
             final_norm=fused_model.final_norm, lm_head=fused_model.lm_head)
         with pytest.raises(ValueError, match="bias"):
             TPF.shard_fused_model_tp(bad, mesh2)
+
+
+class TestPagedFusedTP:
+    def test_paged_decode_matches_single_device(self, fused_model, mesh2):
+        """TP x paging composition: the paged fused step under a tp=2
+        mesh must match the single-device paged fused step (weights
+        bit-identical; only the per-K-shard activation absmax differs)."""
+        from ee274_convexcaldera_llm_quantization_tpu.serve import paged
+
+        B, P_, n_pages_seq = 2, 16, 2
+        rng = np.random.default_rng(2)
+        prompts = rng.integers(0, TINY.vocab_size, (B, 7))
+        toks = jnp.asarray(rng.integers(0, TINY.vocab_size, (B,)),
+                           jnp.int32)
+        pos = jnp.full((B,), 7, jnp.int32)
+        tables = np.arange(B * n_pages_seq).reshape(B, n_pages_seq)
+
+        pool = paged.PagedQuantKVPool.create(TINY, B * n_pages_seq + 1, P_)
+        for b in range(B):
+            _, pool = paged.paged_prefill_fused(
+                fused_model, jnp.asarray(prompts[b:b + 1], jnp.int32),
+                pool, jnp.asarray(tables[b], jnp.int32), TINY,
+                interpret=True)
+        ref, _ = paged.paged_decode_step_fused(
+            fused_model, toks, pos, pool, jnp.asarray(tables, jnp.int32),
+            TINY, interpret=True)
+
+        tp_params = TPF.shard_fused_model_tp(fused_model, mesh2)
+        # rebuild + shard the pool (prefill ran single-device; reuse its
+        # pages by sharding the SAME pool arrays)
+        tp_pool = TPF.shard_paged_pool_tp(pool, mesh2)
+        out, tp_pool = TPF.paged_decode_step_fused_tp(
+            tp_params, toks, pos, tp_pool, jnp.asarray(tables, jnp.int32),
+            TINY, mesh2, interpret=True)
+        rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+               / np.linalg.norm(np.asarray(ref)))
+        assert rel < 0.05, rel
+        assert (np.argmax(np.asarray(out), -1)
+                == np.argmax(np.asarray(ref), -1)).all()
+
+    def test_paged_tp_active_mask(self, fused_model, mesh2):
+        from ee274_convexcaldera_llm_quantization_tpu.serve import paged
+
+        pool = TPF.shard_paged_pool_tp(
+            paged.PagedQuantKVPool.create(TINY, 5, 16), mesh2)
+        tp_params = TPF.shard_fused_model_tp(fused_model, mesh2)
+        out, _ = TPF.paged_decode_step_fused_tp(
+            tp_params, jnp.asarray([1, 2], jnp.int32),
+            jnp.asarray([3, 0], jnp.int32), pool,
+            jnp.asarray([[0, 1], [2, 3]], jnp.int32), TINY, mesh2,
+            interpret=True, active=jnp.asarray([True, False]),
+            scratch_page=4)
+        assert np.isfinite(np.asarray(out)).all()
