@@ -1139,6 +1139,7 @@ def quantized_matmul_w4a8_mlp_stacked(
     assert gu_packed.dtype == jnp.uint8 and dn_packed.dtype == jnp.uint8
     assert xr_gu.shape == (M, 2 * rank), (xr_gu.shape, rank)
     assert dn_R.shape[1:] == (rank, im)
+    block_n = resolve_block_n(block_n, num_bits)
     bn1 = min(block_n, im)
     while im % bn1:
         bn1 //= 2
