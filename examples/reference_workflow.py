@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--rank", type=int, default=64)
     ap.add_argument("--layers", default="17-23")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--q-update", default="rtn", choices=["rtn", "ldlq"],
+                    help="ldlq: error-feedback Q update (beyond the "
+                         "reference's plain RTN, alg.py:253-283)")
+    ap.add_argument("--serving-quant", default="uniform",
+                    choices=["uniform", "e8p"],
+                    help="e8p: 2-bit E8 lattice codebook (the round-4 "
+                         "local-search encode makes tower-scale runs "
+                         "minutes, not hours)")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.layers.split("-"))
 
@@ -57,12 +65,21 @@ def main():
     params = llama.init_params(jax.random.PRNGKey(0), config)
 
     cp = CalderaParams(Q_bits=2, L_bits=16, R_bits=16, rank=args.rank,
-                       iters=args.iters, lplr_iters=5, sigma_reg=1e-8)
+                       iters=args.iters, lplr_iters=5, sigma_reg=1e-8,
+                       q_update=args.q_update)
+    if args.serving_quant == "e8p":
+        from ee274_convexcaldera_llm_quantization_tpu.quant.quantizers import (
+            QuantizerFactory)
+        import dataclasses
+        cp = dataclasses.replace(
+            cp, quant_factory_Q=QuantizerFactory(method="e8p",
+                                                 block_size="global"))
     t0 = time.time()
     qparams, report = compress_model(
         params, cp, hessians=hessians, layer_range=(lo, hi),
         error_threshold=0.99,      # reference quality gate (main.py:11)
         min_dim=500,               # reference size filter (main.py:154)
+        serving_mode="w4a8", serving_quant=args.serving_quant,
         progress=lambda n, e: print(f"  {n}: rel_err={e:.4f}"))
     dt = time.time() - t0
 
