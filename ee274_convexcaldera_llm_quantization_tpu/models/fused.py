@@ -942,3 +942,76 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
                           params.lm_head),
         config, False, interpret)
     return logits[0, 0, :], cache
+
+
+def decode_layers_fused(lp: FusedLayerStack, x: Array, pos: Array, cache,
+                        config: ModelConfig, interpret: bool = False,
+                        tp_axis: Optional[str] = None):
+    """Run ``config.num_layers`` fused W4A8 layers on one-token activations
+    ``x`` (B, h) over a LOCAL layer-stacked head-major int8 cache (leading
+    dim = ``config.num_layers``), with staged KV commits (ragged-safe
+    per-row writes). Same math as the ``staged_kv=True`` branch of
+    :func:`decode_step_fused` — factored for the pipeline-parallel path,
+    where each stage runs its local slice of the layer stack
+    (:func:`parallel.pp.decode_step_fused_pp`). Embedding lookup and the
+    output head stay with the caller.
+    """
+    if not isinstance(cache, HeadMajorQuantKVCache):
+        raise ValueError("decode_layers_fused requires a "
+                         f"HeadMajorQuantKVCache, got {type(cache).__name__}")
+    B = x.shape[0]
+    Lk, KVH, D = config.num_layers, config.num_kv_heads, config.head_dim
+    kv_groups = config.num_heads // config.num_kv_heads
+    cos, sin = llama.rope_tables(config, pos[:, None])
+    staging = (jnp.zeros((Lk, B, KVH, D), jnp.int8),
+               jnp.zeros((Lk, B, KVH), jnp.float32),
+               jnp.zeros((Lk, B, KVH, D), jnp.int8),
+               jnp.zeros((Lk, B, KVH), jnp.float32))
+
+    def body(l, carry):
+        x, stg = carry
+        an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], an, config.rms_norm_eps)[:, 0]
+        q, k, v = _apply_fused(lp.qkv, l, y, interpret)
+        q = q.reshape(B, 1, config.num_heads, D)
+        k = k.reshape(B, 1, KVH, D)
+        v = v.reshape(B, 1, KVH, D)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        kq, ksc = llama.quantize_kv(k[:, 0])
+        vq, vsc = llama.quantize_kv(v[:, 0])
+        kf = kq.astype(jnp.float32) * ksc[..., None]
+        vf = vq.astype(jnp.float32) * vsc[..., None]
+        sk, sks, sv, svs = stg
+        sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, 0, 0))
+        sks = jax.lax.dynamic_update_slice(sks, ksc[None], (l, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, 0, 0))
+        svs = jax.lax.dynamic_update_slice(svs, vsc[None], (l, 0, 0))
+        stg = (sk, sks, sv, svs)
+        qh = q[:, 0].reshape(B, KVH, kv_groups, D)
+        attn = AT.flash_decode_q8_staged(
+            qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            kf, vf, l, pos, interpret=interpret).reshape(B, config.q_dim)
+        x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
+                                     lp.qkv.factor_kernel), tp_axis)
+        mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
+        y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
+        gate, up = _apply_fused(lp.gateup, l, y, interpret)
+        x = x + _tp_sum(
+            _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                         interpret, lp.qkv.factor_kernel), tp_axis)
+        return x, stg
+
+    x, stg = jax.lax.fori_loop(0, config.num_layers, body, (x, staging))
+    sk, sks, sv, svs = stg
+    ck, cv, cks, cvs = cache
+    for b in range(B):
+        ck = jax.lax.dynamic_update_slice(
+            ck, sk[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, sv[:, b][:, None, :, None, :], (0, b, 0, pos[b], 0))
+        cks = jax.lax.dynamic_update_slice(
+            cks, sks[:, b][:, None, :, None], (0, b, 0, pos[b]))
+        cvs = jax.lax.dynamic_update_slice(
+            cvs, svs[:, b][:, None, :, None], (0, b, 0, pos[b]))
+    return x, HeadMajorQuantKVCache(ck, cv, cks, cvs)

@@ -85,6 +85,22 @@ def shard_stacked_model_pp(params: StackedModelParams, mesh: Mesh,
         params, specs)
 
 
+def shard_fused_model_pp(params, mesh: Mesh, axis: str = "pp"):
+    """Place a fused w4a8 model (``FusedStackedParams``) with layers
+    stage-sharded: every ``layers`` leaf carries the leading layer axis,
+    so :func:`param_specs` applies unchanged. A tied (None) head is
+    materialized as an int8 head (matching the single-chip fused path)."""
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        quantize_linear_int8)
+    if params.lm_head is None:
+        params = params._replace(
+            lm_head=quantize_linear_int8(DenseLinear(w=params.embed)))
+    specs = param_specs(params, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
 def shard_kv_cache_pp(cache, mesh: Mesh, axis: str = "pp"):
     """Place a (Quant)KVCache with the layer axis sharded over ``axis``."""
     return jax.tree.map(
@@ -173,6 +189,101 @@ def decode_step_w4a8_pp(params: StackedModelParams, tokens: Array,
         x_in, cache, logits_buf = jax.lax.fori_loop(
             0, 2 * S - 1, tick, (x_in, cache, logits_buf))
         # logits live only on the last stage; psum replicates (others zero)
+        return jax.lax.psum(logits_buf, axis), cache
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pspecs, P(None), P(None), cspecs),
+        out_specs=(P(None, None), cspecs),
+        check_vma=False,
+    )(params, tokens, pos, cache)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "axis", "interpret"),
+    donate_argnames=("cache",))
+def decode_step_fused_pp(params, tokens: Array, pos: Array, cache,
+                         config: ModelConfig, mesh: Mesh, axis: str = "pp",
+                         interpret: bool = False):
+    """Pipeline-parallel decode on the HEADLINE fused path (round 4).
+
+    Same GPipe fill/drain schedule as :func:`decode_step_w4a8_pp`, but
+    each stage runs its layer slice through the fused step's layer body
+    (``models.fused.decode_layers_fused``: fused qkv/gate-up kernels,
+    staged flash attention, int8 factors, staged KV commits) — so PP
+    serves the same step the single-chip headline runs. ``params`` is a
+    layer-stage-sharded ``FusedStackedParams`` (``param_specs`` works
+    unchanged: every ``layers`` leaf carries the leading layer axis);
+    ``cache`` is a layer-sharded :class:`HeadMajorQuantKVCache`.
+    """
+    import dataclasses as _dc
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        fused as fusedm)
+
+    S = mesh.shape[axis]
+    if config.num_layers % S:
+        raise ValueError(f"num_layers={config.num_layers} not divisible by "
+                         f"pp={S}")
+    B = tokens.shape[0]
+    if B % S:
+        raise ValueError(f"batch={B} not divisible by pp={S} microbatches")
+    Bmu = B // S
+    cfg_local = _dc.replace(config, num_layers=config.num_layers // S)
+    pspecs = param_specs(params, axis)
+    cspecs = _cache_spec(cache, axis)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def local_fn(params, tokens, pos, cache):
+        s = jax.lax.axis_index(axis)
+        hidden = params.embed.shape[1]
+        x_in = jnp.zeros((Bmu, hidden), jnp.float32)
+        logits_buf = jnp.zeros((B, config.vocab_size), jnp.float32)
+
+        def tick(t, carry):
+            x_in, cache, logits_buf = carry
+            m = t - s
+            valid = jnp.logical_and(m >= 0, m < S)
+            mc = jnp.clip(m, 0, S - 1)
+            start = mc * Bmu
+            tok_mu = jax.lax.dynamic_slice_in_dim(tokens, start, Bmu)
+            pos_mu = jax.lax.dynamic_slice_in_dim(pos, start, Bmu)
+            x0 = params.embed[tok_mu].astype(jnp.float32)
+            x = jnp.where(s == 0, x0, x_in)
+
+            def run(x, cache):
+                cache_mu = jax.tree.map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, start, Bmu,
+                                                           axis=1), cache)
+                x, cache_mu = fusedm.decode_layers_fused(
+                    params.layers, x, pos_mu, cache_mu, cfg_local,
+                    interpret=interpret)
+                cache = jax.tree.map(
+                    lambda c, cm: jax.lax.dynamic_update_slice_in_dim(
+                        c, cm.astype(c.dtype), start, axis=1), cache,
+                    cache_mu)
+                return x, cache
+
+            x_out, cache = jax.lax.cond(
+                valid, run, lambda x, c: (x, c), x, cache)
+
+            def write_logits(buf):
+                lg = llama._logits(
+                    x_out[:, None, :],
+                    llama.ModelParams(params.embed, [], params.final_norm,
+                                      params.lm_head),
+                    config, False, interpret)[:, 0, :]
+                return jax.lax.dynamic_update_slice(
+                    buf, lg.astype(buf.dtype), (start, 0))
+
+            logits_buf = jax.lax.cond(
+                jnp.logical_and(valid, s == S - 1), write_logits,
+                lambda b: b, logits_buf)
+            x_next = jax.lax.ppermute(x_out, axis, perm)
+            return x_next, cache, logits_buf
+
+        x_in, cache, logits_buf = jax.lax.fori_loop(
+            0, 2 * S - 1, tick, (x_in, cache, logits_buf))
         return jax.lax.psum(logits_buf, axis), cache
 
     return shard_map(
