@@ -48,9 +48,11 @@ def render(h: dict) -> str:
             f"flagship's rate regime) decodes at {b2['tok_s']} tok/s.")
     if "quality_2bit" in h:
         q = h["quality_2bit"]
+        scale = q.get("scale")
         lines.append(
             f"At 2 bits the e8p lattice path holds quality end to end "
-            f"through the CLI on an HF-format checkpoint: "
+            f"through the CLI on an HF-format checkpoint"
+            + (f" ({scale})" if scale else "") + ": "
             f"{q['delta_log_ppl']:+.3f} log-ppl at {q['total_bits']} "
             f"TOTAL bits/param (factors and scales included) where 2-bit "
             f"uniform RTN degrades by {q['uniform_delta_log_ppl']:+.2f}.")
