@@ -328,3 +328,32 @@ def paged_decode_step_fused_tp(params: FusedStackedParams, tokens: Array,
         out_specs=(P(None, axis), poolspec),
         check_vma=False,
     )(params, tokens, pos, pool, page_tables, active)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "axis", "interpret", "flash"))
+def paged_prefill_fused_tp(params: FusedStackedParams, tokens: Array,
+                           pool, page_table: Array, config: ModelConfig,
+                           mesh: Mesh, axis: str = "tp",
+                           interpret: bool = False, flash: bool = False):
+    """Tensor-parallel paged prefill on the fused path (the admission side
+    of :func:`paged_decode_step_fused_tp`). Returns (vocab-sharded
+    last-token logits, pool)."""
+    from ee274_convexcaldera_llm_quantization_tpu.serve import paged
+
+    cfg_local = _local_config(config, mesh.shape[axis])
+    pspecs = fused_param_specs(params, axis)
+    poolspec = _pool_spec(axis)
+
+    def local_fn(params, tokens, pool, page_table):
+        return paged.paged_prefill_fused(
+            params, tokens, pool, page_table, cfg_local,
+            interpret=interpret, flash=flash, tp_axis=axis)
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pspecs, P(None), poolspec, P(None)),
+        out_specs=(P(axis), poolspec),
+        check_vma=False,
+    )(params, tokens, pool, page_table)

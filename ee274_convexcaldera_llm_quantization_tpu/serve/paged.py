@@ -404,7 +404,8 @@ def paged_decode_step_fused(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret", "flash"))
+                   static_argnames=("config", "interpret", "flash",
+                                    "tp_axis"))
 def paged_prefill_fused(
     params,                  # models.fused.FusedStackedParams
     tokens: Array,           # (1, S) prompt
@@ -413,13 +414,21 @@ def paged_prefill_fused(
     config: ModelConfig,
     interpret: bool = False,
     flash: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[Array, PagedQuantKVPool]:
     """Prefill one prompt on the fused path, scattering quantized K/V into
     the sequence's pages. Attention is prompt-internal (flash prefill
-    kernel when ``flash``), so the pool is written but never read."""
+    kernel when ``flash``), so the pool is written but never read.
+    ``tp_axis``: shard_map-local tensor parallelism (psum-completed
+    row-parallel o/down), as in ``decode_step_fused``."""
     from ee274_convexcaldera_llm_quantization_tpu.models.fused import (
-        _apply_fused, _apply_plain)
+        _apply_fused, _apply_plain, _tp_sum)
     from ee274_convexcaldera_llm_quantization_tpu.ops import attention as AT
+
+    if tp_axis is not None and (params.layers.o_proj.b is not None
+                                or params.layers.down_proj.b is not None):
+        raise ValueError("row-parallel o/down projections cannot carry a "
+                         "bias under tensor parallelism")
 
     S = tokens.shape[1]
     P = pool.page_size
@@ -456,13 +465,14 @@ def paged_prefill_fused(
         cv = cv.at[l, tok_pages, :, tok_offs].set(vq[0])
         cks = cks.at[l, tok_pages, :, tok_offs].set(ksc[0])
         cvs = cvs.at[l, tok_pages, :, tok_offs].set(vsc[0])
-        x = x + _apply_plain(lp.o_proj, l, attn, interpret,
-                             lp.qkv.factor_kernel)
+        x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
+                                     lp.qkv.factor_kernel), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
-        x = x + _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret, lp.qkv.factor_kernel)
+        x = x + _tp_sum(
+            _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
+                         interpret, lp.qkv.factor_kernel), tp_axis)
         return x, ck, cv, cks, cvs
 
     x, ck, cv, cks, cvs = jax.lax.fori_loop(

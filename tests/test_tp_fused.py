@@ -206,3 +206,45 @@ class TestPagedFusedTP:
             interpret=True, active=jnp.asarray([True, False]),
             scratch_page=4)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_paged_prefill_then_decode_tp(self, fused_model, mesh2):
+        """Full TP x paged flow: prefill a prompt through the sharded
+        paged path, then decode — greedy tokens must match the
+        single-device paged flow."""
+        from ee274_convexcaldera_llm_quantization_tpu.serve import paged
+
+        P_ = 16
+        rng = np.random.default_rng(9)
+        prompt = rng.integers(0, TINY.vocab_size, (1, 7))
+        table = jnp.asarray([0, 1], jnp.int32)
+
+        pool = paged.PagedQuantKVPool.create(TINY, 3, P_)
+        lg, pool = paged.paged_prefill_fused(
+            fused_model, jnp.asarray(prompt, jnp.int32), pool, table, TINY,
+            interpret=True)
+        seq = [int(jnp.argmax(lg))]
+        pos = 7
+        for _ in range(3):
+            out, pool = paged.paged_decode_step_fused(
+                fused_model, jnp.asarray([seq[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), pool, table[None], TINY,
+                interpret=True)
+            seq.append(int(jnp.argmax(out[0])))
+            pos += 1
+
+        tp_params = TPF.shard_fused_model_tp(fused_model, mesh2)
+        tp_pool = TPF.shard_paged_pool_tp(
+            paged.PagedQuantKVPool.create(TINY, 3, P_), mesh2)
+        lg, tp_pool = TPF.paged_prefill_fused_tp(
+            tp_params, jnp.asarray(prompt, jnp.int32), tp_pool, table,
+            TINY, mesh2, interpret=True)
+        tp_seq = [int(jnp.argmax(lg))]
+        pos = 7
+        for _ in range(3):
+            out, tp_pool = TPF.paged_decode_step_fused_tp(
+                tp_params, jnp.asarray([tp_seq[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), tp_pool, table[None], TINY,
+                mesh2, interpret=True)
+            tp_seq.append(int(jnp.argmax(out[0])))
+            pos += 1
+        assert tp_seq == seq
