@@ -199,13 +199,57 @@ def decode_step_w4a8_pp(params: StackedModelParams, tokens: Array,
     )(params, tokens, pos, cache)
 
 
+def _prepend_axis(specs, axis: str):
+    """Prepend ``axis`` to the leading (layer) dim of every ``layers``
+    leaf's PartitionSpec — composes PP stage-sharding with a within-layer
+    TP spec tree."""
+    def upd(path, sp):
+        if "layers" in _path_names(path):
+            rest = tuple(sp) if len(sp) else ()
+            assert not rest or rest[0] is None, rest
+            return P(axis, *rest[1:]) if rest else P(axis)
+        return sp
+    return jax.tree_util.tree_map_with_path(
+        upd, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_fused_model_pp_tp(params, mesh: Mesh, pp_axis: str = "pp",
+                            tp_axis: str = "tp"):
+    """Place a fused w4a8 model for combined PP x TP serving: the TP
+    transforms (fused-group permutation + local static splits, exact
+    row-parallel K-shard repack) from ``parallel.tp_fused`` first, then
+    layer-stage sharding on top. Returns the placed params; specs are
+    recomputed inside :func:`decode_step_fused_pp`."""
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed import (
+        quantize_linear_int8)
+    from ee274_convexcaldera_llm_quantization_tpu.parallel import (
+        tp_fused as tpf)
+
+    tp = mesh.shape[tp_axis]
+    lp = params.layers
+    lm_head = params.lm_head
+    if lm_head is None:
+        lm_head = quantize_linear_int8(DenseLinear(w=params.embed))
+    out = params._replace(
+        layers=lp._replace(
+            qkv=tpf._shard_col_group(lp.qkv, tp),
+            o_proj=tpf._shard_row_linear(lp.o_proj, tp),
+            gateup=tpf._shard_col_group(lp.gateup, tp),
+            down_proj=tpf._shard_row_linear(lp.down_proj, tp)),
+        lm_head=lm_head)
+    specs = _prepend_axis(tpf.fused_param_specs(out, tp_axis), pp_axis)
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        out, specs)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "mesh", "axis", "interpret"),
+    static_argnames=("config", "mesh", "axis", "interpret", "tp_axis"),
     donate_argnames=("cache",))
 def decode_step_fused_pp(params, tokens: Array, pos: Array, cache,
                          config: ModelConfig, mesh: Mesh, axis: str = "pp",
-                         interpret: bool = False):
+                         interpret: bool = False, tp_axis=None):
     """Pipeline-parallel decode on the HEADLINE fused path (round 4).
 
     Same GPipe fill/drain schedule as :func:`decode_step_w4a8_pp`, but
@@ -230,15 +274,31 @@ def decode_step_fused_pp(params, tokens: Array, pos: Array, cache,
         raise ValueError(f"batch={B} not divisible by pp={S} microbatches")
     Bmu = B // S
     cfg_local = _dc.replace(config, num_layers=config.num_layers // S)
-    pspecs = param_specs(params, axis)
-    cspecs = _cache_spec(cache, axis)
+    if tp_axis is None:
+        pspecs = param_specs(params, axis)
+        cspecs = _cache_spec(cache, axis)
+        vocab_local = config.vocab_size
+        logits_out_spec = P(None, None)
+    else:
+        # PP x TP: params were placed by shard_fused_model_pp_tp; within a
+        # stage the layer slice serves Megatron-TP (2 psums/layer inside
+        # decode_layers_fused), and the cache shards (layer, kv-head).
+        from ee274_convexcaldera_llm_quantization_tpu.parallel import (
+            tp_decode as tpd, tp_fused as tpf)
+        tp = mesh.shape[tp_axis]
+        cfg_local = tpd._local_config(cfg_local, tp)
+        pspecs = _prepend_axis(tpf.fused_param_specs(params, tp_axis), axis)
+        base = tpf._cache_spec(cache, tp_axis)   # (None,None,tp,None,None)
+        cspecs = type(cache)(*[P(axis, *tuple(sp)[1:]) for sp in base])
+        vocab_local = config.vocab_size // tp
+        logits_out_spec = P(None, tp_axis)
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def local_fn(params, tokens, pos, cache):
         s = jax.lax.axis_index(axis)
         hidden = params.embed.shape[1]
         x_in = jnp.zeros((Bmu, hidden), jnp.float32)
-        logits_buf = jnp.zeros((B, config.vocab_size), jnp.float32)
+        logits_buf = jnp.zeros((B, vocab_local), jnp.float32)
 
         def tick(t, carry):
             x_in, cache, logits_buf = carry
@@ -257,7 +317,7 @@ def decode_step_fused_pp(params, tokens: Array, pos: Array, cache,
                                                            axis=1), cache)
                 x, cache_mu = fusedm.decode_layers_fused(
                     params.layers, x, pos_mu, cache_mu, cfg_local,
-                    interpret=interpret)
+                    interpret=interpret, tp_axis=tp_axis)
                 cache = jax.tree.map(
                     lambda c, cm: jax.lax.dynamic_update_slice_in_dim(
                         c, cm.astype(c.dtype), start, axis=1), cache,
@@ -289,6 +349,6 @@ def decode_step_fused_pp(params, tokens: Array, pos: Array, cache,
     return shard_map(
         local_fn, mesh=mesh,
         in_specs=(pspecs, P(None), P(None), cspecs),
-        out_specs=(P(None, None), cspecs),
+        out_specs=(logits_out_spec, cspecs),
         check_vma=False,
     )(params, tokens, pos, cache)

@@ -206,3 +206,78 @@ class TestFusedPP:
         # KV codes must be bit-identical (same kernels, same quantization)
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(pp_cache.k)), np.asarray(cref.k))
+
+    def test_fused_pp_tp_composition(self):
+        """PP x TP on one (pp=2, tp=2) mesh: layer stages x Megatron
+        within-stage — the multi-host 13B+ serving topology. Greedy
+        argmax must match the single-device fused step."""
+        import numpy as np
+        from jax.sharding import Mesh
+        from ee274_convexcaldera_llm_quantization_tpu.models import (
+            fused as fusedm, llama, stacked)
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import (
+            TINY)
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed \
+            import CalderaLinear, compress_linear
+        from ee274_convexcaldera_llm_quantization_tpu.models.surgery import (
+            compress_model)
+        from ee274_convexcaldera_llm_quantization_tpu.decomp.caldera import (
+            CalderaParams)
+        from ee274_convexcaldera_llm_quantization_tpu.parallel import (
+            pp as ppm)
+
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        cp = CalderaParams(Q_bits=4, L_bits=16, R_bits=16, rank=8, iters=1,
+                           lplr_iters=1)
+        qparams, _ = compress_model(params, cp)
+
+        def convert(lp):
+            fields = {}
+            for name in llama.LayerParams._fields:
+                lin = getattr(lp, name)
+                if isinstance(lin, CalderaLinear):
+                    W = (lin.materialize() / lin.global_scale
+                         - lin.L.astype(jnp.float32)
+                         @ lin.R.astype(jnp.float32))
+                    fields[name] = compress_linear(
+                        W, lin.L.astype(jnp.float32),
+                        lin.R.astype(jnp.float32), lin.num_bits,
+                        global_scale=float(lin.global_scale), bias=lin.b,
+                        mode="w4a8")
+                else:
+                    fields[name] = lin
+            return llama.LayerParams(**fields)
+
+        model = llama.ModelParams(
+            embed=qparams.embed,
+            layers=[convert(lp) for lp in qparams.layers],
+            final_norm=qparams.final_norm, lm_head=qparams.lm_head)
+        fp = fusedm.quantize_factors_int8_fused(
+            fusedm.fuse_stacked(stacked.stack_layers(model)))
+
+        toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+        pos = jnp.asarray([3, 5, 2, 7], jnp.int32)
+        ref, _ = fusedm.decode_step_fused(
+            fp, toks, pos, llama.HeadMajorQuantKVCache.create(TINY, 4, 16),
+            TINY, interpret=True, staged_kv=True)
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    ("pp", "tp"))
+        pt_params = ppm.shard_fused_model_pp_tp(fp, mesh)
+        cache = llama.HeadMajorQuantKVCache.create(TINY, 4, 16)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cspecs = llama.HeadMajorQuantKVCache(
+            P("pp", None, "tp", None, None), P("pp", None, "tp", None, None),
+            P("pp", None, "tp", None), P("pp", None, "tp", None))
+        pt_cache = jax.tree.map(
+            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+            cache, cspecs)
+        out, pt_cache = ppm.decode_step_fused_pp(
+            pt_params, toks, pos, pt_cache, TINY, mesh, interpret=True,
+            tp_axis="tp")
+        assert out.shape == ref.shape
+        rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+               / np.linalg.norm(np.asarray(ref)))
+        assert rel < 0.05, rel
+        assert (np.argmax(np.asarray(out), -1)
+                == np.argmax(np.asarray(ref), -1)).all()
