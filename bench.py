@@ -337,10 +337,12 @@ def main():
                              "requant + down in ONE Pallas launch per layer "
                              "(needs --int8-factors and factor-kernel l/lr)")
     parser.add_argument("--attn-dots", default="f32",
-                        choices=["f32", "bf16"],
+                        choices=["f32", "bf16", "i8"],
                         help="flash decode-attention dot dtype: bf16 "
                              "halves the VPU cost of converting the int8 "
-                             "KV slabs (f32 accumulation either way; the "
+                             "KV slabs; i8 removes the cast entirely "
+                             "(int8 q / int8 probs, i32 MXU accumulate) "
+                             "(f32 accumulation either way; the "
                              "f32 path is the exactness twin)")
     parser.add_argument("--decode-path", default="fused",
                         choices=["fused", "mega"],
@@ -639,7 +641,8 @@ def main():
         ("-mlp" if args.mlp_kernel else "") + \
         ("-ab" if (args.attn_kernel == "ab" and args.flash_attn) else "") + \
         ("-attno" if (args.attn_o_kernel and args.flash_attn) else "") + \
-        ("-abf16" if (args.attn_dots == "bf16" and args.flash_attn) else "")
+        ("-abf16" if (args.attn_dots == "bf16" and args.flash_attn) else "") + \
+        ("-ai8" if (args.attn_dots == "i8" and args.flash_attn) else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
                   f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "

@@ -41,6 +41,54 @@ Array = jax.Array
 _NEG_INF = -1e30
 
 
+def _qk_logits(qf, k_i8, ks, scale, dots, cdt):
+    """QK^T logits for one token block in the requested dot precision.
+
+    ``dots="i8"`` (round-5, VERDICT r4 ask #2): quantize q per (row, g) to
+    int8 (absmax/127) and contract the cache's int8 codes DIRECTLY on the
+    MXU with i32 accumulation — the (rows, block_t, D) i8->f32 cast of the
+    K slab disappears and the dot runs at the MXU's 2x int8 rate. The
+    per-row q scale folds into the logits with the per-(token, head) cache
+    scale, so precision loss is only the int8 rounding of q (~0.4%
+    relative, comparable to the bf16-dots mode's 2^-8 mantissa).
+    """
+    if dots == "i8":
+        qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=2, keepdims=True),
+                         1e-12) * (1.0 / 127.0)        # (rows, G, 1)
+        qi = jnp.round(qf / qs).astype(jnp.int8)
+        logits = jax.lax.dot_general(
+            qi, k_i8, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * qs
+    else:
+        logits = jax.lax.dot_general(
+            qf.astype(cdt), k_i8.astype(cdt),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (rows, G, block_t)
+    return logits * (ks * scale)[:, None, :]
+
+
+def _pv_contrib(p, vs, v_i8, dots, cdt):
+    """This block's contribution ``(p * vs) @ v`` to the flash accumulator.
+
+    ``dots="i8"``: the (small) probability-times-scale matrix quantizes to
+    int8 per (row, g) — probabilities are in [0, 1] so absmax/127 loses
+    ~0.4% relative — and contracts the int8 V codes on the MXU in i32; the
+    (rows, block_t, D) V cast disappears. Accumulation stays f32 outside.
+    """
+    if dots == "i8":
+        pv = p * vs[:, None, :]                        # (rows, G, block_t)
+        pvs = jnp.maximum(jnp.max(pv, axis=2, keepdims=True),
+                          1e-30) * (1.0 / 127.0)
+        pvi = jnp.round(pv / pvs).astype(jnp.int8)
+        return jax.lax.dot_general(
+            pvi, v_i8, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * pvs
+    pv = (p * vs[:, None, :]).astype(cdt)
+    return jax.lax.dot_general(
+        pv, v_i8.astype(cdt), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (rows, G, D)
+
+
 def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
                             vs_ref, o_ref, m_ref, s_ref, acc_ref, *,
                             block_t: int, scale: float,
@@ -72,14 +120,10 @@ def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
         # "bf16" dots: the int8 cache converts to bf16 instead of f32 —
         # the conversion of the whole (KVH, block_t, D) slab is the VPU
         # cost that dominates decode attention above the KV-read
-        # roofline; accumulation stays f32 (standard flash practice)
-        q = q_ref[0].astype(cdt)                      # (KVH, G, D)
-        k = k_ref[0, 0].astype(cdt)                   # (KVH, block_t, D)
+        # roofline; accumulation stays f32 (standard flash practice).
+        # "i8" dots: no cast at all — see _qk_logits/_pv_contrib.
         ks = ks_ref[0, 0]                             # (KVH, block_t) f32
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (KVH, G, block_t)
-        logits = logits * (ks * scale)[:, None, :]
+        logits = _qk_logits(q_ref[0], k_ref[0, 0], ks, scale, dots, cdt)
 
         tok = t * block_t + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 2)
@@ -94,12 +138,9 @@ def _flash_decode_q8_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref, v_ref,
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
         s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-        v = v_ref[0, 0].astype(cdt)                   # (KVH, block_t, D)
         vs = vs_ref[0, 0]                             # (KVH, block_t)
-        pv = (p * vs[:, None, :]).astype(cdt)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (KVH, G, D)
+        acc_ref[:] = acc_ref[:] * alpha + _pv_contrib(
+            p, vs, v_ref[0, 0], dots, cdt)            # (KVH, G, D)
 
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
@@ -219,13 +260,8 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
 
     @pl.when((t <= last) & (pos_ref[b] > 0))
     def _compute():
-        q = q_ref[0].astype(cdt)                      # (KVH, G, D)
-        k = k_ref[0, 0].astype(cdt)                   # (KVH, block_t, D)
         ks = ks_ref[0, 0]                             # (KVH, block_t) f32
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (KVH, G, block_t)
-        logits = logits * (ks * scale)[:, None, :]
+        logits = _qk_logits(q_ref[0], k_ref[0, 0], ks, scale, dots, cdt)
 
         tok = t * block_t + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 2)
@@ -238,12 +274,9 @@ def _flash_decode_q8_staged_kernel(l_ref, pos_ref, q_ref, k_ref, ks_ref,
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
         s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-        v = v_ref[0, 0].astype(cdt)
         vs = vs_ref[0, 0]
-        pv = (p * vs[:, None, :]).astype(cdt)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + _pv_contrib(
+            p, vs, v_ref[0, 0], dots, cdt)
 
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
@@ -392,13 +425,10 @@ def _flash_decode_q8_ab_kernel(l_ref, pos_ref, lastb_ref, q_ref, k_ref,
 
     @pl.when(t <= lastb_ref[jb])
     def _compute():
-        q = q_ref[:].reshape(BH, G, D).astype(cdt)
-        k = k_ref[0].reshape(BH, block_t, D).astype(cdt)
         ks = ks_ref[0].reshape(BH, block_t)
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (BH, G, block_t)
-        logits = logits * (ks * scale)[:, None, :]
+        logits = _qk_logits(q_ref[:].reshape(BH, G, D),
+                            k_ref[0].reshape(BH, block_t, D),
+                            ks, scale, dots, cdt)     # (BH, G, block_t)
 
         tok = t * block_t + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 2)
@@ -414,12 +444,9 @@ def _flash_decode_q8_ab_kernel(l_ref, pos_ref, lastb_ref, q_ref, k_ref,
         p = jnp.where(valid, jnp.exp(logits - m_new), 0.0)
         s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-        v = v_ref[0].reshape(BH, block_t, D).astype(cdt)
         vs = vs_ref[0].reshape(BH, block_t)
-        pv = (p * vs[:, None, :]).astype(cdt)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            pv, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (BH, G, D)
+        acc_ref[:] = acc_ref[:] * alpha + _pv_contrib(
+            p, vs, v_ref[0].reshape(BH, block_t, D), dots, cdt)
 
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)

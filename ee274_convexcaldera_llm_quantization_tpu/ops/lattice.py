@@ -266,49 +266,11 @@ def _member_ok(pts: Array, codebook: Array) -> Tuple[Array, Array]:
     return idx, ok
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "exact", "n_iter"))
-def e8p_encode(y: Array, codebook: Array, chunk: int = 512,
-               exact: bool = False, n_iter: int = 3) -> Array:
-    """Nearest-codeword indices for vectors ``y`` (N, 8).
-
-    Fast path (both modes): Conway-Sloane nearest point in the shifted
-    lattice, accepted when it is a codebook entry (hash-verified) — then
-    it is THE nearest codeword, since the nearest point over the whole
-    lattice lies in the codebook subset.
-
-    Fallback for rows whose lattice-nearest point falls outside the
-    codebook ball (common at aggressive scales — a gamma=0.7 load factor
-    puts most rows outside):
-
-    - ``exact=False`` (default): greedy descent over the E8 neighbor
-      graph. Start from a guaranteed member (the Conway-Sloane round of
-      the row shrunk to the complete-shell ball), then ``n_iter`` times
-      move to the best in-codebook neighbor ``b + v`` over the 240 roots
-      ``v``. Candidate membership is decided by norm (complete shells)
-      with a single hash check per iteration for boundary-shell argmins,
-      so an iteration is two (N, 240) matmuls — no 2^16-point scan. The
-      old brute-force fallback made the LDLQ-e8p flagship encode take
-      hours at 512-dim on CPU (round-3 ROADMAP); this is ~100x faster
-      and near-exact (measured: 0% mismatch at load <= 1.0, <0.1% at
-      1.3, MSE excess <~3e-5 — tests/test_lattice.py).
-    - ``exact=True``: brute-force MXU argmin over the full codebook for
-      all rows whenever any row needs it. Use for exactness tests and
-      one-off references.
-    """
-    y = y.astype(jnp.float32)
+def _encode_core(y: Array, codebook: Array, n_iter: int) -> Array:
+    """Greedy-descent encode of one slab (see :func:`e8p_encode`)."""
     quarter = jnp.asarray(0.25, jnp.float32)
     p0 = nearest_e8(y - quarter) + quarter
     idx0, ok0 = _member_ok(p0, codebook)
-
-    if exact:
-        def slow(_):
-            return _brute_force_encode(y, codebook, chunk)
-
-        def fast(_):
-            return idx0
-
-        idx = jax.lax.cond(jnp.all(ok0), fast, slow, operand=None)
-        return jnp.where(ok0, idx0, idx)
 
     safe_r2, full_r2 = _shell_radii2()
     safe_r2 += 1e-6
@@ -367,6 +329,71 @@ def e8p_encode(y: Array, codebook: Array, chunk: int = 512,
     # every accepted move was membership-checked, so okf holds; idx0 is a
     # valid entry either way (belt and braces for f32 edge rounding)
     return jnp.where(okf, idx, idx0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "exact", "n_iter", "slab"))
+def e8p_encode(y: Array, codebook: Array, chunk: int = 512,
+               exact: bool = False, n_iter: int = 3,
+               slab: int = 131072) -> Array:
+    """Nearest-codeword indices for vectors ``y`` (N, 8).
+
+    Fast path (both modes): Conway-Sloane nearest point in the shifted
+    lattice, accepted when it is a codebook entry (hash-verified) — then
+    it is THE nearest codeword, since the nearest point over the whole
+    lattice lies in the codebook subset.
+
+    Fallback for rows whose lattice-nearest point falls outside the
+    codebook ball (common at aggressive scales — a gamma=0.7 load factor
+    puts most rows outside):
+
+    - ``exact=False`` (default): greedy descent over the E8 neighbor
+      graph. Start from a guaranteed member (the Conway-Sloane round of
+      the row shrunk to the complete-shell ball), then ``n_iter`` times
+      move to the best in-codebook neighbor ``b + v`` over the 240 roots
+      ``v``. Candidate membership is decided by norm (complete shells)
+      with a single hash check per iteration for boundary-shell argmins,
+      so an iteration is two (N, 240) matmuls — no 2^16-point scan. The
+      old brute-force fallback made the LDLQ-e8p flagship encode take
+      hours at 512-dim on CPU (round-3 ROADMAP); this is ~100x faster
+      and near-exact (measured: 0% mismatch at load <= 1.0, <0.1% at
+      1.3, MSE excess <~3e-5 — tests/test_lattice.py).
+    - ``exact=True``: brute-force MXU argmin over the full codebook for
+      all rows whenever any row needs it. Use for exactness tests and
+      one-off references.
+
+    ``slab``: rows are processed in ``lax.map`` slabs of this size when
+    ``N > slab`` (non-exact path). The local-search temporaries are
+    (N, 240) f32 — at 7B-projection block counts (N ~ 5.6M for
+    4096x11008) the unslabbed graph peaks over 25 GB of HBM temps and
+    OOMs a 16 GB chip; slabbing bounds the peak at ~150 MB with
+    bit-identical per-row results (the descent is row-independent).
+    """
+    y = y.astype(jnp.float32)
+
+    if exact:
+        quarter = jnp.asarray(0.25, jnp.float32)
+        p0 = nearest_e8(y - quarter) + quarter
+        idx0, ok0 = _member_ok(p0, codebook)
+
+        def slow(_):
+            return _brute_force_encode(y, codebook, chunk)
+
+        def fast(_):
+            return idx0
+
+        idx = jax.lax.cond(jnp.all(ok0), fast, slow, operand=None)
+        return jnp.where(ok0, idx0, idx)
+
+    n = y.shape[0]
+    if slab and n > slab:
+        pad = (-n) % slab
+        yp = jnp.pad(y, ((0, pad), (0, 0)))
+        idx = jax.lax.map(
+            lambda ys: _encode_core(ys, codebook, n_iter),
+            yp.reshape(-1, slab, DIM))
+        return idx.reshape(-1)[:n]
+    return _encode_core(y, codebook, n_iter)
 
 
 def e8p_decode(idx: Array, codebook: Array) -> Array:

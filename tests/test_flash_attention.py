@@ -668,6 +668,59 @@ class TestBf16Dots:
         rel = float(jnp.linalg.norm(bf - f32) / jnp.linalg.norm(f32))
         assert rel < 0.02, rel
 
+    def test_i8_close_to_f32(self):
+        # round-5 MXU-native attention (VERDICT r4 ask #2): int8 q and
+        # int8 softmax probs, i32 accumulate — no KV slab cast at all
+        L, B, KVH, G, D, T = 2, 2, 2, 2, 32, 64
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, KVH, G, D),
+                              jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(1), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([17, 60], jnp.int32)
+        f32 = AT.flash_decode_q8(q, k, v, ksc, vsc, jnp.asarray(1), pos,
+                                 block_t=32, interpret=True)
+        i8 = AT.flash_decode_q8(q, k, v, ksc, vsc, jnp.asarray(1), pos,
+                                block_t=32, interpret=True, dots="i8")
+        rel = float(jnp.linalg.norm(i8 - f32) / jnp.linalg.norm(f32))
+        assert rel < 0.03, rel
+
+    def test_staged_i8_close_to_f32(self):
+        L, B, KVH, G, D, T = 2, 2, 2, 1, 32, 64
+        rng = np.random.default_rng(3)
+        q = jax.random.normal(jax.random.PRNGKey(2), (B, KVH, G, D))
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(3), L, B, KVH,
+                                       T, D)
+        kf = jnp.asarray(rng.standard_normal((B, KVH, D)),
+                         jnp.float32) * 0.1
+        vf = jnp.asarray(rng.standard_normal((B, KVH, D)),
+                         jnp.float32) * 0.1
+        pos = jnp.asarray([9, 40], jnp.int32)
+        f32 = AT.flash_decode_q8_staged(q, k, v, ksc, vsc, kf, vf,
+                                        jnp.asarray(0), pos, block_t=32,
+                                        interpret=True)
+        i8 = AT.flash_decode_q8_staged(q, k, v, ksc, vsc, kf, vf,
+                                       jnp.asarray(0), pos, block_t=32,
+                                       interpret=True, dots="i8")
+        rel = float(jnp.linalg.norm(i8 - f32) / jnp.linalg.norm(f32))
+        assert rel < 0.03, rel
+
+    def test_ab_i8_close_to_f32(self):
+        L, B, KVH, G, D, T = 2, 4, 2, 2, 32, 128
+        q = jax.random.normal(jax.random.PRNGKey(4), (B, KVH, G, D),
+                              jnp.float32)
+        k, v, ksc, vsc = _random_cache(jax.random.PRNGKey(5), L, B, KVH,
+                                       T, D)
+        pos = jnp.asarray([17, 60, 0, 127], jnp.int32)
+        dummy = jnp.zeros((B, KVH, D), jnp.float32)
+        f32 = AT.flash_decode_q8_ab(q, k, v, ksc, vsc, dummy, dummy,
+                                    jnp.asarray(1), pos, staged=False,
+                                    interpret=True)
+        i8 = AT.flash_decode_q8_ab(q, k, v, ksc, vsc, dummy, dummy,
+                                   jnp.asarray(1), pos, staged=False,
+                                   interpret=True, dots="i8")
+        rel = float(jnp.linalg.norm(i8 - f32) / jnp.linalg.norm(f32))
+        assert rel < 0.03, rel
+
     def test_staged_bf16_close_to_f32(self):
         L, B, KVH, G, D, T = 2, 2, 2, 1, 32, 64
         rng = np.random.default_rng(3)
