@@ -65,7 +65,7 @@ def stack_layers(params: ModelParams) -> StackedModelParams:
                               lm_head=params.lm_head)
 
 
-def _low_rank_layer(lin: CalderaLinear, l, y):
+def _low_rank_layer(lin: CalderaLinear, l, y, xr_reduce=None):
     """Low-rank contribution ``y @ (L[l] @ R[l]).T`` for a stacked
     CalderaLinear (bf16 or int8 factors)."""
     from ee274_convexcaldera_llm_quantization_tpu.ops import kernels as Kr
@@ -75,7 +75,8 @@ def _low_rank_layer(lin: CalderaLinear, l, y):
     return Kr.low_rank_matmul(
         y, idx(lin.L), idx(lin.R),
         None if lin.L_scale is None else idx(lin.L_scale),
-        None if lin.R_scale is None else idx(lin.R_scale))
+        None if lin.R_scale is None else idx(lin.R_scale),
+        xr_reduce=xr_reduce)
 
 
 def quantize_model_factors_int8(params: StackedModelParams,

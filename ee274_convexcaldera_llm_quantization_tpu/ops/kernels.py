@@ -333,13 +333,21 @@ def pack_rowscale(W: jax.Array, num_bits: int):
     return packed, scales
 
 
-def quantize_activations_int8(x: jax.Array):
-    """Per-row symmetric int8 quantization of activations (M, K)."""
+def quantize_activations_int8(x: jax.Array,
+                              scale: Optional[jax.Array] = None):
+    """Per-row symmetric int8 quantization of activations (M, K).
+
+    ``scale`` ((M, 1) f32), when given, overrides the per-row absmax/127
+    computation — used by tensor-parallel callers to quantize every
+    K-shard with the GLOBAL row scale (``pmax`` over the tp axis) so the
+    sharded step reproduces the single-chip codes exactly."""
     xf = x.astype(jnp.float32)
-    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-12)
-    sx = absmax / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
+    if scale is None:
+        absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                             1e-12)
+        scale = absmax / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
 
 
 def _unpack_plane_unsigned(chunk, p: int, num_bits: int, f: int):
@@ -558,6 +566,7 @@ def quantized_matmul_w4a8_stacked(
     block_m: int = 128,
     block_n: Optional[int] = None,
     interpret: bool = False,
+    act_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """W4A8 matmul against layer ``layer`` of a stacked weight tensor.
 
@@ -576,7 +585,7 @@ def quantized_matmul_w4a8_stacked(
     plane_len = K // f
     chunk_bytes = _pick_chunk(plane_len, 1, block_n)
 
-    xq, sx = quantize_activations_int8(x)
+    xq, sx = quantize_activations_int8(x, act_scale)
     TM = min(block_m, _round_up(M, 32))
     Mp = _round_up(M, TM)
     if Mp != M:
@@ -738,6 +747,7 @@ def quantized_matmul_w4a8_lr_stacked(
     block_m: int = 128,
     block_n: Optional[int] = None,
     interpret: bool = False,
+    act_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """W4A8 + low-rank matmul against layer ``layer``: one kernel computes
     ``x @ (dequant(packed) + L @ R).T`` for a fusion group of ``len(splits)``
@@ -887,6 +897,7 @@ def quantized_matmul_w4a8_l_stacked(
     block_m: int = 128,
     block_n: Optional[int] = None,
     interpret: bool = False,
+    act_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """W4A8 matmul + L-factor add against layer ``layer``: one kernel
     computes ``x @ dequant(packed).T + xr @ L.T`` for a fusion group of
@@ -912,7 +923,7 @@ def quantized_matmul_w4a8_l_stacked(
         pid += [i] * (n // block_n)
     pid = jnp.asarray(pid, jnp.int32)
 
-    xq, sx = quantize_activations_int8(x)
+    xq, sx = quantize_activations_int8(x, act_scale)
     TM = min(block_m, _round_up(M, 32))
     Mp = _round_up(M, TM)
     if Mp != M:
@@ -1372,7 +1383,8 @@ def int8_matmul_xla(x, w_int8, row_scales):
 
 def low_rank_matmul(x2: jax.Array, L: jax.Array, R: jax.Array,
                     L_scale: Optional[jax.Array] = None,
-                    R_scale: Optional[jax.Array] = None) -> jax.Array:
+                    R_scale: Optional[jax.Array] = None,
+                    xr_reduce=None) -> jax.Array:
     """``x2 @ (L @ R).T`` as two thin dots, factors bf16 or int8.
 
     int8 factors (``*_scale`` given, per-row absmax) are cast to bf16 —
@@ -1380,11 +1392,19 @@ def low_rank_matmul(x2: jax.Array, L: jax.Array, R: jax.Array,
     column rescale of the f32 accumulator: half the factor HBM traffic of
     bf16 with no extra rounding beyond the int8 codes themselves.
     ``L``: (N, r), ``R``: (r, K), scales (N, 1) / (r, 1).
+
+    ``xr_reduce``: optional hook applied to the f32 ``xr`` BEFORE its
+    bf16 cast. Tensor-parallel row-sharded callers psum the K-partial xr
+    here (and mask to one shard) so the cast — a nonlinearity — sees the
+    full-K value, not a shard partial; without it the sharded step's
+    low-rank contribution drifts ~1e-4 from the single-chip numerics.
     """
     xr = jnp.dot(x2.astype(jnp.bfloat16), R.T.astype(jnp.bfloat16),
                  preferred_element_type=jnp.float32)
     if R_scale is not None:
         xr = xr * R_scale[:, 0][None, :]
+    if xr_reduce is not None:
+        xr = xr_reduce(xr)
     ylr = jnp.dot(xr.astype(jnp.bfloat16), L.T.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     if L_scale is not None:

@@ -62,6 +62,36 @@ class TestLDLQ:
         e_rtn = aa_err(A, jnp.asarray(Q_rtn), H)
         assert e_ldlq < e_rtn * 0.95, (e_ldlq, e_rtn)
 
+    @pytest.mark.parametrize("panel", [16, 32])
+    def test_panel_blocking_matches_unblocked(self, panel):
+        # round-5: the trailing update is deferred to one rank-P matmul
+        # per panel (GPTQ lazy batching). panel=n runs the original
+        # column-at-a-time order; any panel width must agree to f32
+        # reordering tolerance.
+        n = 64
+        A = jnp.asarray(RNG.normal(size=(24, n)).astype(np.float32))
+        H = jnp.asarray(correlated_hessian(n, seed=5))
+        U = C.ldlq_precompute(H)
+        Q_full = C.ldlq_quantize(A, U, 4, panel=n)
+        Q_blk = C.ldlq_quantize(A, U, 4, panel=panel)
+        # codes sit on a per-row grid; near-ties may flip a step, so
+        # compare achieved whitened error instead of bitwise equality
+        e_full = aa_err(A, Q_full, H)
+        e_blk = aa_err(A, Q_blk, H)
+        assert abs(e_full - e_blk) <= 0.02 * e_full + 1e-6, (e_full, e_blk)
+        assert float(jnp.mean((Q_full - Q_blk) == 0)) > 0.97
+
+    def test_panel_blocking_e8p_matches_unblocked(self):
+        n = 64
+        A = jnp.asarray(RNG.normal(size=(16, n)).astype(np.float32))
+        H = jnp.asarray(correlated_hessian(n, seed=6))
+        U = C.ldlq_precompute(H)
+        Q_full = C.ldlq_quantize_e8p(A, U, panel=n)
+        Q_blk = C.ldlq_quantize_e8p(A, U, panel=16)
+        e_full = aa_err(A, Q_full, H)
+        e_blk = aa_err(A, Q_blk, H)
+        assert abs(e_full - e_blk) <= 0.02 * e_full + 1e-6, (e_full, e_blk)
+
     def test_caldera_ldlq_end_to_end(self):
         n = 64
         W = jnp.asarray(RNG.normal(size=(48, n)).astype(np.float32))

@@ -78,13 +78,15 @@ class TestFusedTPDecode:
         out, tp_cache = TPF.decode_step_fused_tp(
             tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
         assert out.shape == ref.shape
-        # weights are bit-identical under the exact repack; only the
-        # per-K-shard int8 activation absmax differs on o/down inputs
-        rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
-               / np.linalg.norm(np.asarray(ref)))
-        assert rel < 0.05, rel
-        assert (np.argmax(np.asarray(out), -1)
-                == np.argmax(np.asarray(ref), -1)).all()
+        # round-5 (VERDICT r4 ask #4): weights repack exactly, o/down
+        # activations quantize with a pmax-GLOBAL absmax, and the
+        # K-partial xr is psum-reduced before its bf16 cast — every
+        # int8 code in the tp=2 step (activations, KV cache) is
+        # bit-identical to the single-chip step; the logits differ only
+        # by f32 summation order (psum of shard partials vs one dot),
+        # <= ~1 ulp at logit scale. Was rel < 5e-2 before round 5.
+        maxdiff = np.max(np.abs(np.asarray(out) - np.asarray(ref)))
+        assert maxdiff <= 2e-6, maxdiff
 
     def test_decode_cache_matches_single_device(self, fused_model, mesh2):
         toks = jnp.asarray([1, 2], jnp.int32)
@@ -98,12 +100,11 @@ class TestFusedTPDecode:
             llama.HeadMajorQuantKVCache.create(TINY, 2, 16), mesh2)
         _, tp_cache = TPF.decode_step_fused_tp(
             tp_params, toks, pos, tp_cache, TINY, mesh2, interpret=True)
-        # qkv weights bit-identical and activations replicated => the
-        # written K/V codes agree up to int8 rounding of identical floats
+        # round-5: with the global-absmax + xr-psum fixes the written K/V
+        # codes are bit-identical to the single-chip step
         ref = np.asarray(cref.k, np.float32)
         got = np.asarray(jax.device_get(tp_cache.k), np.float32)
-        rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
-        assert rel < 0.05, rel
+        assert np.max(np.abs(got - ref)) == 0.0
 
     def test_prefill_then_decode_generation(self, fused_model):
         # tp=2 is the ceiling for TINY (2 kv heads shard the cache)
