@@ -345,12 +345,18 @@ def main():
                              "(f32 accumulation either way; the "
                              "f32 path is the exactness twin)")
     parser.add_argument("--decode-path", default="fused",
-                        choices=["fused", "mega"],
+                        choices=["fused", "mega", "paged"],
                         help="decode step: 'fused' (one Pallas kernel per "
-                             "projection group) or 'mega' (the persistent "
+                             "projection group), 'mega' (the persistent "
                              "whole-layer megakernel: the ENTIRE layer "
                              "stack in ONE pallas_call; requires MHA + "
-                             "int8 'l'-layout factors)")
+                             "int8 'l'-layout factors), or 'paged' "
+                             "(paged_decode_step_fused over a "
+                             "--page-size int8 KV pool — the vLLM-style "
+                             "serving mode, slope-timed like the "
+                             "headline)")
+    parser.add_argument("--page-size", type=int, default=256,
+                        help="tokens per KV page for --decode-path paged")
     parser.add_argument("--attn-kernel", default="auto",
                         choices=["auto", "row", "ab"],
                         help="flash decode-attention grid: 'row' (one "
@@ -489,6 +495,25 @@ def main():
     # trip counts, which cancels fixed dispatch/readback overhead.
     fast_path = args.mode == "w4a8" and use_pallas
 
+    page_tables = None
+    if args.decode_path == "paged":
+        from ee274_convexcaldera_llm_quantization_tpu.serve import paged
+        if not (args.fused and args.flash_attn and use_pallas):
+            raise SystemExit("--decode-path paged requires --fused "
+                             "--flash-attn on a TPU backend")
+        psz = min(args.page_size, args.context)
+        while args.context % psz:
+            psz //= 2
+        max_pages = args.context // psz
+        # sequential page assignment; fragmented tables measured separately
+        # in scripts/exp_paged_chip.py (the DMA engine fetches pages by
+        # table lookup either way)
+        page_tables = (jnp.arange(B * max_pages, dtype=jnp.int32)
+                       .reshape(B, max_pages))
+        cache = paged.PagedQuantKVPool.create(config, B * max_pages, psz)
+        print(f"# paged pool: {B * max_pages} pages x {psz} tokens",
+              file=sys.stderr, flush=True)
+
     mega_prep = None
     if args.decode_path == "mega":
         from ee274_convexcaldera_llm_quantization_tpu.models import (
@@ -509,7 +534,13 @@ def main():
         def body(i, carry):
             cache, tok, acc = carry
             pos = jnp.full((B,), pos0 + i, jnp.int32)
-            if args.decode_path == "mega":
+            if args.decode_path == "paged":
+                from ee274_convexcaldera_llm_quantization_tpu.serve import (
+                    paged)
+                logits, cache = paged.paged_decode_step_fused(
+                    params, tok, pos, cache, page_tables, config,
+                    interpret=not use_pallas)
+            elif args.decode_path == "mega":
                 logits, cache = persistent.decode_step_persistent(
                     params, tok, pos, cache, config,
                     interpret=not use_pallas, prep=mega_prep)
@@ -632,6 +663,7 @@ def main():
     vs = tok_per_s / roofline_tok_per_s
 
     variant = ("-mega" if args.decode_path == "mega" else "") + \
+        ("-paged" if args.decode_path == "paged" else "") + \
         ("-fused" if args.fused else "") + \
         ("-flash" if args.flash_attn else
          ("-kv8" if args.kv_int8 else "")) + \

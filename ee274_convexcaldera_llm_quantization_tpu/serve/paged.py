@@ -364,13 +364,13 @@ def paged_decode_step_fused(
             qh, pool.k, pool.v, pool.k_scale, pool.v_scale, kf, vf, l,
             page_tables, pos, interpret=interpret).reshape(B, config.q_dim)
         x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
-                                     lp.qkv.factor_kernel), tp_axis)
+                                     lp.qkv.factor_kernel, tp_axis), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
         x = x + _tp_sum(
             _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                         interpret, lp.qkv.factor_kernel), tp_axis)
+                         interpret, lp.qkv.factor_kernel, tp_axis), tp_axis)
         return x, stg
 
     x, stg = jax.lax.fori_loop(0, config.num_layers, body, (x, staging))
@@ -381,19 +381,21 @@ def paged_decode_step_fused(
         write_page = jnp.where(active, write_page, scratch_page)
     write_off = pos % P
     ck, cv, cks, cvs = pool
-    for b in range(B):
-        ck = jax.lax.dynamic_update_slice(
-            ck, sk[:, b][:, None, :, None, :],
-            (0, write_page[b], 0, write_off[b], 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, sv[:, b][:, None, :, None, :],
-            (0, write_page[b], 0, write_off[b], 0))
-        cks = jax.lax.dynamic_update_slice(
-            cks, sks[:, b][:, None, :, None], (0, write_page[b], 0,
-                                               write_off[b]))
-        cvs = jax.lax.dynamic_update_slice(
-            cvs, svs[:, b][:, None, :, None], (0, write_page[b], 0,
-                                               write_off[b]))
+    # ONE batched scatter per pool array (ADVICE r4: the per-row
+    # dynamic_update_slice loop reintroduced 4*B XLA thunks per step).
+    # Advanced indexing with the two (B,) index vectors separated by a
+    # slice front-loads the batch axis, so the staged (L, B, ...) values
+    # transpose to (B, L, ...). Rows routed to the scratch page may
+    # collide there (unspecified write order) — by construction nothing
+    # ever reads the scratch page.
+    ck = ck.at[:, write_page, :, write_off].set(sk.transpose(1, 0, 2, 3),
+                                               unique_indices=False)
+    cv = cv.at[:, write_page, :, write_off].set(sv.transpose(1, 0, 2, 3),
+                                               unique_indices=False)
+    cks = cks.at[:, write_page, :, write_off].set(sks.transpose(1, 0, 2),
+                                                 unique_indices=False)
+    cvs = cvs.at[:, write_page, :, write_off].set(svs.transpose(1, 0, 2),
+                                                 unique_indices=False)
     pool = PagedQuantKVPool(ck, cv, cks, cvs)
     logits = llama._logits(
         x[:, None, :],
@@ -466,13 +468,13 @@ def paged_prefill_fused(
         cks = cks.at[l, tok_pages, :, tok_offs].set(ksc[0])
         cvs = cvs.at[l, tok_pages, :, tok_offs].set(vsc[0])
         x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
-                                     lp.qkv.factor_kernel), tp_axis)
+                                     lp.qkv.factor_kernel, tp_axis), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[None], mn, config.rms_norm_eps)[0]
         gate, up = _apply_fused(lp.gateup, l, y, interpret)
         x = x + _tp_sum(
             _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                         interpret, lp.qkv.factor_kernel), tp_axis)
+                         interpret, lp.qkv.factor_kernel, tp_axis), tp_axis)
         return x, ck, cv, cks, cvs
 
     x, ck, cv, cks, cvs = jax.lax.fori_loop(
