@@ -169,12 +169,17 @@ def cmd_serve(args):
         # a fully-w4a8 model gets the headline fused paged path (int8
         # pool + paged flash attention) automatically
         fused = _as_fused(params)
+        # record which paged path actually serves (ADVICE r4 #4: the
+        # fused auto-switch changed numerics with no attribution)
+        served_path = "paged-fused" if fused is not None else "paged-bf16"
         eng = PagedServingEngine(
             fused if fused is not None else params, config,
             max_slots=args.max_slots,
             num_pages=args.num_pages, page_size=args.page_size,
             max_pages_per_seq=-(-args.max_seq_len // args.page_size),
             interpret=interpret)
+        print(json.dumps({"path": served_path}), file=sys.stderr,
+              flush=True)
     elif args.engine == "fast":
         from ee274_convexcaldera_llm_quantization_tpu.models import stacked
         from ee274_convexcaldera_llm_quantization_tpu.serve.fast_engine import (
@@ -212,7 +217,9 @@ def cmd_serve(args):
     total = sum(len(c.tokens) for c in done)
     print(json.dumps({"requests": len(done), "tokens": total,
                       "tokens_per_s": round(total / dt, 2),
-                      "seconds": round(dt, 2)}))
+                      "seconds": round(dt, 2),
+                      "path": (served_path if args.engine == "paged"
+                               else args.engine)}))
 
 
 def cmd_bench(args):

@@ -159,7 +159,8 @@ def _quantize_fused_factors(fp: FusedW4A8Linear,
     R8, Rs = Kr.quantize_int8_rowwise(fp.R)
     pairs = [Kr.quantize_int8_rowwise(L) for L in fp.Ls]
     if (factor_kernel in ("l", "lr")
-            and Kr.lr_stacked_supported(fp.splits, fp.ranks)):
+            and Kr.lr_stacked_supported(fp.splits, fp.ranks,
+                                        num_bits=fp.num_bits)):
         # single storage copy: N-concatenated codes for the fused-factor
         # kernels; per-projection scales kept (tiny) for introspection
         return dataclasses.replace(

@@ -714,15 +714,19 @@ def _qmm_w4a8_lr_stacked_kernel(l_ref, pid_ref, xq_ref, y_ref, w_ref, s_ref,
 
 
 def lr_stacked_supported(splits: Tuple[int, ...], ranks: Tuple[int, ...],
-                         block_n: Optional[int] = None) -> bool:
+                         block_n: Optional[int] = None,
+                         num_bits: int = 4) -> bool:
     """Whether the fused-factor stacked kernel supports this fusion group:
     uniform rank, lane-aligned rank windows (or a single projection), and a
-    reasonable (>= 128) common output block size."""
+    reasonable (>= 128) common output block size. ``num_bits`` must match
+    the group's actual width so the verdict uses the same
+    ``resolve_block_n`` chain as the kernel (ADVICE r4 #1: a 2-bit group
+    resolves 256, not the 4-bit default's 512)."""
     if len(set(ranks)) != 1:
         return False
     if len(splits) > 1 and ranks[0] % 128 != 0:
         return False
-    block_n = min(resolve_block_n(block_n), min(splits))
+    block_n = min(resolve_block_n(block_n, num_bits), min(splits))
     while any(n % block_n for n in splits):
         block_n //= 2
     return block_n >= 128

