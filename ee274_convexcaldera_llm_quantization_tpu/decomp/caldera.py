@@ -388,45 +388,65 @@ def _update_Q_ldlq(params: CalderaParams, W: Array, L: Array, R: Array,
     jax.jit,
     static_argnames=("params", "identity_hessian"),
 )
-def caldera_solve(
+def _caldera_prep(
     params: CalderaParams,
-    W: Array,
     H: Array,
-    global_scale: Array,
-    key: Array,
     identity_hessian: bool = False,
-) -> Tuple[Array, Array, Array, Array]:
-    """Jitted core: returns (Q, L, R, errors).
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Stage 1 of the solve: Hessian preprocessing, compiled on its own.
 
-    ``errors`` has shape ``(iters, len(update_order))`` — the activation-aware
-    error after each sub-update, matching the reference's per-update error
-    history (``alg.py:104``).
+    Returns ``(H, H_sqrt, eigvals, eigvecs, U_ldlq)``. Splitting the eigh
+    + Cholesky-pair preprocessing out of the alternation graph roughly
+    halves peak XLA-compile memory — the single mega-graph at 4096x11008
+    (eigh at n=11008 + the panel scans in one program) got the TPU
+    compile helper SIGKILLed (host OOM) in round 5.
     """
-    m, n = W.shape
-    W = W.astype(jnp.float32) / global_scale
+    n = H.shape[0]
     H = H.astype(jnp.float32)
-
     if identity_hessian or not params.activation_aware_LR:
         # Fast path: skip eigh (ref ``optimized_eigh``, ``alg.py:11-23``)
         # and the non-data-aware branch that uses H as-is (``alg.py:50-52``).
         H_sqrt = H if not params.activation_aware_LR else jnp.eye(n)
-        eigH = lr.EighResult(jnp.ones(n), jnp.eye(n))
+        eigvals, eigvecs = jnp.ones(n), jnp.eye(n)
         if identity_hessian and params.activation_aware_LR:
             H = jnp.eye(n)
     else:
         H, eigH = lr.regularized_eigh(H, params.sigma_reg)
         H_sqrt = lr.hessian_sqrt(eigH)
+        eigvals, eigvecs = eigH.eigenvalues, eigH.eigenvectors
+
+    if params.q_update == "ldlq":
+        # U is iteration-invariant: one Cholesky pair per layer.
+        U_ldlq = (jnp.eye(n, dtype=jnp.float32) if identity_hessian
+                  else ldlq_precompute(H))
+    else:
+        U_ldlq = jnp.zeros((0, 0), jnp.float32)    # unused placeholder
+    return H, H_sqrt, eigvals, eigvecs, U_ldlq
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _caldera_core(
+    params: CalderaParams,
+    W: Array,
+    H: Array,
+    H_sqrt: Array,
+    eigvals: Array,
+    eigvecs: Array,
+    U_ldlq: Array,
+    global_scale: Array,
+    key: Array,
+) -> Tuple[Array, Array, Array, Array]:
+    """Stage 2 of the solve: the alternation loop (see :func:`caldera_solve`)."""
+    m, n = W.shape
+    W = W.astype(jnp.float32) / global_scale
+    eigH = lr.EighResult(eigvals, eigvecs)
 
     Q0 = jnp.zeros((m, n), jnp.float32)
     L0 = jnp.zeros((m, params.rank), jnp.float32)
     R0 = jnp.zeros((params.rank, n), jnp.float32)
     n_upd = len(params.update_order)
 
-    if params.q_update == "ldlq":
-        # U is iteration-invariant: one Cholesky pair per layer.
-        U_ldlq = (jnp.eye(n, dtype=jnp.float32) if identity_hessian
-                  else ldlq_precompute(H))
-    elif params.q_update != "rtn":
+    if params.q_update not in ("rtn", "ldlq"):
         raise ValueError(f"unknown q_update {params.q_update!r}")
 
     def outer(i, carry):
@@ -459,6 +479,28 @@ def caldera_solve(
     out = jax.lax.fori_loop(0, params.iters, outer, init)
     _, _, _, bestQ, bestL, bestR, _, errors, _ = out
     return bestQ, bestL, bestR, errors
+
+
+def caldera_solve(
+    params: CalderaParams,
+    W: Array,
+    H: Array,
+    global_scale: Array,
+    key: Array,
+    identity_hessian: bool = False,
+) -> Tuple[Array, Array, Array, Array]:
+    """Jitted solve in two stages: returns (Q, L, R, errors).
+
+    ``errors`` has shape ``(iters, len(update_order))`` — the activation-aware
+    error after each sub-update, matching the reference's per-update error
+    history (``alg.py:104``). Stage 1 (:func:`_caldera_prep`: eigh,
+    H^{1/2}, the LDLQ Cholesky pair) and stage 2 (:func:`_caldera_core`:
+    the alternation loop) compile as separate XLA programs — the fused
+    graph exceeded the TPU compile helper's memory at 4096x11008.
+    """
+    prep = _caldera_prep(params, H, identity_hessian=identity_hessian)
+    return _caldera_core(params, W.astype(jnp.float32), *prep,
+                         jnp.asarray(global_scale, jnp.float32), key)
 
 
 def caldera(
