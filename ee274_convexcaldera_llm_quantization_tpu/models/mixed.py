@@ -392,13 +392,15 @@ def prepare_fused_segments(params: MixedStackedParams,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "interpret", "staged_kv"),
+                   static_argnames=("config", "interpret", "staged_kv",
+                                    "attn_dots"),
                    donate_argnames=("cache",))
 def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                                 pos: Array, cache, config: ModelConfig,
                                 interpret: bool = False,
                                 staged_kv: bool = True,
-                                fused_prep=None):
+                                fused_prep=None,
+                                attn_dots: str = "f32"):
     """Mixed-precision decode WITHOUT per-layer ``lax.switch``.
 
     Round 2 measured the switch dispatch at ~14 roofline points on the
@@ -490,8 +492,8 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                 stg = (sk, sks, sv, svs)
                 attn = AT.flash_decode_q8_staged(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                    kf, vf, l, pos,
-                    interpret=interpret).reshape(B, config.q_dim)
+                    kf, vf, l, pos, interpret=interpret,
+                    dots=attn_dots).reshape(B, config.q_dim)
             else:
                 ck, cv, cks, cvs = cache
                 for b in range(B):
@@ -508,7 +510,8 @@ def decode_step_mixed_segmented(params: MixedStackedParams, tokens: Array,
                 cache = HeadMajorQuantKVCache(ck, cv, cks, cvs)
                 attn = AT.flash_decode_q8(
                     qh, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                    l, pos, interpret=interpret).reshape(B, config.q_dim)
+                    l, pos, interpret=interpret,
+                    dots=attn_dots).reshape(B, config.q_dim)
             x = x + apply("o_proj", l, attn)
             mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0,
                                               keepdims=False)

@@ -288,7 +288,7 @@ def paged_prefill_suffix(
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "interpret", "scratch_page",
-                                    "tp_axis"))
+                                    "tp_axis", "attn_dots"))
 def paged_decode_step_fused(
     params,                  # models.fused.FusedStackedParams
     tokens: Array,           # (B,) current token per slot
@@ -300,6 +300,7 @@ def paged_decode_step_fused(
     active: Optional[Array] = None,   # (B,) bool
     scratch_page: Optional[int] = None,
     tp_axis: Optional[str] = None,
+    attn_dots: str = "f32",
 ) -> Tuple[Array, PagedQuantKVPool]:
     """One decode step on the headline fused path over the paged pool.
 
@@ -362,7 +363,8 @@ def paged_decode_step_fused(
         qh = q[:, 0].reshape(B, KVH, kv_groups, D)
         attn = AT.flash_decode_q8_paged(
             qh, pool.k, pool.v, pool.k_scale, pool.v_scale, kf, vf, l,
-            page_tables, pos, interpret=interpret).reshape(B, config.q_dim)
+            page_tables, pos, interpret=interpret,
+            dots=attn_dots).reshape(B, config.q_dim)
         x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
                                      lp.qkv.factor_kernel, tp_axis), tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)

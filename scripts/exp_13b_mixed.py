@@ -72,6 +72,11 @@ def main():
                     help="additionally fuse qkv / gate+up within "
                          "uniform-width segments (one kernel + one "
                          "activation quantization per group)")
+    ap.add_argument("--attn-dots", default="i8",
+                    choices=["f32", "bf16", "i8"],
+                    help="decode-attention dot dtype (segmented path); "
+                    "i8 matches bench.py's round-5 default so the "
+                    "mixed-vs-uniform comparison stays apples-to-apples")
     ap.add_argument("--no-bench", action="store_true",
                     help="allocation + accounting only (no TPU timing)")
     args = ap.parse_args()
@@ -248,7 +253,8 @@ def main():
             if args.segmented:
                 logits, cache = step_fn(
                     params, tok, pos, cache, config,
-                    interpret=not use_pallas, fused_prep=fused_prep)
+                    interpret=not use_pallas, fused_prep=fused_prep,
+                    attn_dots=args.attn_dots)
             else:
                 logits, cache = step_fn(
                     params, tok, pos, cache, config,
