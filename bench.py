@@ -673,7 +673,8 @@ def main():
         ({"off": "", "on": "-staged", "uniform": "-stagedu"}[args.staged_kv]
          if args.flash_attn else "") + \
         ("-mlp" if args.mlp_kernel else "") + \
-        ("-ab" if (args.attn_kernel == "ab" and args.flash_attn) else "") + \
+        ("-ab" if (args.attn_kernel == "ab" and args.flash_attn
+                   and args.decode_path != "paged") else "") + \
         ("-attno" if (args.attn_o_kernel and args.flash_attn) else "") + \
         ("-abf16" if (args.attn_dots == "bf16" and args.flash_attn) else "") + \
         ("-ai8" if (args.attn_dots == "i8" and args.flash_attn) else "")

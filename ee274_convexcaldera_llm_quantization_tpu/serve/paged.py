@@ -383,21 +383,26 @@ def paged_decode_step_fused(
         write_page = jnp.where(active, write_page, scratch_page)
     write_off = pos % P
     ck, cv, cks, cvs = pool
-    # ONE batched scatter per pool array (ADVICE r4: the per-row
-    # dynamic_update_slice loop reintroduced 4*B XLA thunks per step).
-    # Advanced indexing with the two (B,) index vectors separated by a
-    # slice front-loads the batch axis, so the staged (L, B, ...) values
-    # transpose to (B, L, ...). Rows routed to the scratch page may
-    # collide there (unspecified write order) — by construction nothing
-    # ever reads the scratch page.
-    ck = ck.at[:, write_page, :, write_off].set(sk.transpose(1, 0, 2, 3),
-                                               unique_indices=False)
-    cv = cv.at[:, write_page, :, write_off].set(sv.transpose(1, 0, 2, 3),
-                                               unique_indices=False)
-    cks = cks.at[:, write_page, :, write_off].set(sks.transpose(1, 0, 2),
-                                                 unique_indices=False)
-    cvs = cvs.at[:, write_page, :, write_off].set(svs.transpose(1, 0, 2),
-                                                 unique_indices=False)
+    # Per-row dynamic_update_slice commits, NOT a batched scatter. ADVICE
+    # r4 #3 suggested one scatter per pool array; measured on chip
+    # (round 5): XLA cannot alias the scatter into the donated pool, so
+    # it materializes a FULL pool copy per step — +1.3 ms at B8 ctx256
+    # and an HBM OOM at ctx2048 (the 8.6 GB pool doubles). The DUS chain
+    # aliases in place (same finding as models/fused.py's cache commit,
+    # measured +1.1 ms for scatter there in round 4).
+    for b in range(B):
+        ck = jax.lax.dynamic_update_slice(
+            ck, sk[:, b][:, None, :, None, :],
+            (0, write_page[b], 0, write_off[b], 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, sv[:, b][:, None, :, None, :],
+            (0, write_page[b], 0, write_off[b], 0))
+        cks = jax.lax.dynamic_update_slice(
+            cks, sks[:, b][:, None, :, None], (0, write_page[b], 0,
+                                               write_off[b]))
+        cvs = jax.lax.dynamic_update_slice(
+            cvs, svs[:, b][:, None, :, None], (0, write_page[b], 0,
+                                               write_off[b]))
     pool = PagedQuantKVPool(ck, cv, cks, cvs)
     logits = llama._logits(
         x[:, None, :],
