@@ -27,7 +27,7 @@ SHAPES = [  # (name, N, K) — llama2-7b serving projections
     ("gateup", 22016, 4096),
     ("down", 4096, 11008),
 ]
-L, M = 4, 8
+L, M = 2, 8
 
 
 def main():
@@ -73,8 +73,9 @@ def main():
             run(4)
             best = float("inf")
             for _ in range(3):
-                t1, t2 = run(32), run(96)
-                best = min(best, (t2 - t1) / 64)
+                # deltas must dwarf the ~35 ms relay RPC
+                t1, t2 = run(256), run(1024)
+                best = min(best, (t2 - t1) / 768)
             print(f"{name} {label}: {best * 1e6:.1f} us/call "
                   f"({gb / best:.0f} GB/s weights)", flush=True)
 
