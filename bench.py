@@ -359,6 +359,12 @@ def main():
                              "headline)")
     parser.add_argument("--page-size", type=int, default=256,
                         help="tokens per KV page for --decode-path paged")
+    parser.add_argument("--proj-kernel", default="grid",
+                        choices=["grid", "persistent"],
+                        help="o/down projection kernel: 'persistent' is "
+                             "the round-5 manual-DMA variant (one program "
+                             "per M-tile, explicit double-buffered "
+                             "async copies; +5.4%% isolated on down_proj)")
     parser.add_argument("--attn-kernel", default="auto",
                         choices=["auto", "row", "ab"],
                         help="flash decode-attention grid: 'row' (one "
@@ -557,7 +563,8 @@ def main():
                     attn_o_kernel=args.attn_o_kernel and args.flash_attn,
                     attn_dots=args.attn_dots,
                     head_pallas=args.head_pallas,
-                    attn_kernel=args.attn_kernel)
+                    attn_kernel=args.attn_kernel,
+                    proj_kernel=args.proj_kernel)
             elif fast_path:
                 logits, cache = stacked.decode_step_w4a8(
                     params, tok, pos, cache, config)
@@ -677,7 +684,8 @@ def main():
                    and args.decode_path != "paged") else "") + \
         ("-attno" if (args.attn_o_kernel and args.flash_attn) else "") + \
         ("-abf16" if (args.attn_dots == "bf16" and args.flash_attn) else "") + \
-        ("-ai8" if (args.attn_dots == "i8" and args.flash_attn) else "")
+        ("-ai8" if (args.attn_dots == "i8" and args.flash_attn) else "") + \
+        ("-pers" if args.proj_kernel == "persistent" else "")
     print(json.dumps({
         "metric": f"decode tokens/sec/chip {args.model} "
                   f"{args.bits}-bit+rank{args.rank} {args.mode}{variant} "

@@ -295,7 +295,8 @@ def _apply_fused(fp: FusedW4A8Linear, l: Array, y: Array, interpret: bool):
 
 def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool,
                  factor_kernel: str = "xla",
-                 tp_axis: Optional[str] = None):
+                 tp_axis: Optional[str] = None,
+                 proj_kernel: str = "grid"):
     """Single stacked w4a8 projection (same math as stacked.decode qmm).
 
     ``factor_kernel="l"`` (int8 factors only) fuses the L-factor add into
@@ -347,7 +348,10 @@ def _apply_plain(lin: CalderaLinear, l: Array, y: Array, interpret: bool,
             splits=(lin.packed.shape[1],), interpret=interpret,
             act_scale=act_scale)
     else:
-        yq = Kr.quantized_matmul_w4a8_stacked(
+        qmm = (Kr.quantized_matmul_w4a8_stacked_persistent
+               if proj_kernel == "persistent"
+               else Kr.quantized_matmul_w4a8_stacked)
+        yq = qmm(
             y, lin.packed, lin.scales, l, lin.num_bits, interpret=interpret,
             act_scale=act_scale)
         out = yq + st._low_rank_layer(lin, l, y, xr_reduce=xr_reduce)
@@ -424,7 +428,8 @@ def _attn_o_kernel_supported(params: FusedStackedParams,
                    static_argnames=("config", "interpret", "staged_kv",
                                     "mlp_kernel", "attn_o_kernel",
                                     "attn_dots", "head_pallas",
-                                    "attn_kernel", "tp_axis"),
+                                    "attn_kernel", "tp_axis",
+                                    "proj_kernel"),
                    donate_argnames=("cache",))
 def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       cache, config: ModelConfig,
@@ -434,7 +439,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
                       attn_dots: str = "f32",
                       head_pallas: bool = False,
                       attn_kernel: str = "row",
-                      tp_axis: Optional[str] = None):
+                      tp_axis: Optional[str] = None,
+                      proj_kernel: str = "grid"):
     """Batched decode step on the fused-projection W4A8 path.
 
     4 Pallas launches per layer (qkv, o, gate+up, down) instead of 7, and
@@ -660,7 +666,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             x = x + oout * gso
         else:
             x = x + _tp_sum(_apply_plain(lp.o_proj, l, attn, interpret,
-                                         lp.qkv.factor_kernel, tp_axis),
+                                         lp.qkv.factor_kernel, tp_axis,
+                                         proj_kernel),
                             tp_axis)
         mn = jax.lax.dynamic_index_in_dim(lp.mlp_norm, l, 0, keepdims=False)
         y = llama.rms_norm(x[:, None, :], mn, config.rms_norm_eps)[:, 0]
@@ -670,7 +677,8 @@ def decode_step_fused(params: FusedStackedParams, tokens: Array, pos: Array,
             gate, up = _apply_fused(lp.gateup, l, y, interpret)
             x = x + _tp_sum(
                 _apply_plain(lp.down_proj, l, jax.nn.silu(gate) * up,
-                             interpret, lp.qkv.factor_kernel, tp_axis),
+                             interpret, lp.qkv.factor_kernel, tp_axis,
+                             proj_kernel),
                 tp_axis)
         if staged_kv:
             return x, cache, stg
@@ -876,7 +884,8 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
                             interpret: bool = False,
                             last_pos: Optional[Array] = None,
                             flash: bool = False,
-                            tp_axis: Optional[str] = None):
+                            tp_axis: Optional[str] = None,
+                      proj_kernel: str = "grid"):
     """Prefill one (1, S) prompt into ``slot`` on the fused path.
 
     ``flash=True`` computes the causal self-attention with the flash
@@ -978,7 +987,8 @@ def prefill_into_slot_fused(params: FusedStackedParams, tokens: Array,
 
 def decode_layers_fused(lp: FusedLayerStack, x: Array, pos: Array, cache,
                         config: ModelConfig, interpret: bool = False,
-                        tp_axis: Optional[str] = None):
+                        tp_axis: Optional[str] = None,
+                      proj_kernel: str = "grid"):
     """Run ``config.num_layers`` fused W4A8 layers on one-token activations
     ``x`` (B, h) over a LOCAL layer-stacked head-major int8 cache (leading
     dim = ``config.num_layers``), with staged KV commits (ragged-safe

@@ -695,6 +695,7 @@ def quantized_matmul_w4a8_stacked_persistent(
     block_m: int = 128,
     block_n: Optional[int] = None,
     interpret: bool = False,
+    act_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """:func:`quantized_matmul_w4a8_stacked` with manual-DMA persistent
     scheduling — see :func:`_qmm_w4a8_persistent_kernel`. Measured head to
@@ -712,7 +713,7 @@ def quantized_matmul_w4a8_stacked_persistent(
     chunk_bytes = _pick_chunk(plane_len, 1, block_n)
     nb = N // block_n
 
-    xq, sx = quantize_activations_int8(x)
+    xq, sx = quantize_activations_int8(x, act_scale)
     TM = min(block_m, _round_up(M, 32))
     Mp = _round_up(M, TM)
     if Mp != M:

@@ -740,3 +740,30 @@ class TestBf16Dots:
                                        interpret=True, dots="bf16")
         rel = float(jnp.linalg.norm(bf - f32) / jnp.linalg.norm(f32))
         assert rel < 0.02, rel
+
+
+class TestPersistentProjKernel:
+    def test_persistent_matches_grid_greedy(self):
+        # round-5 manual-DMA o/down projection kernel: same greedy tokens
+        import bench
+        from ee274_convexcaldera_llm_quantization_tpu.models.config import (
+            TINY_MHA)
+        sp = bench.build_compressed_llama_params(TINY_MHA, num_bits=4,
+                                                 rank=16, mode="w4a8")
+        fp = fusedm.fuse_stacked(sp)
+        outs = {}
+        for pk in ("grid", "persistent"):
+            cache = llama.HeadMajorQuantKVCache.create(TINY_MHA, 2, 16)
+            tok = jnp.asarray([1, 2], jnp.int32)
+            seq = []
+            for step in range(3):
+                pos = jnp.asarray([2 + step, 4 + step], jnp.int32)
+                logits, cache = fusedm.decode_step_fused(
+                    fp, tok, pos, cache, TINY_MHA, interpret=True,
+                    staged_kv=True, proj_kernel=pk)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                seq.append([int(t) for t in tok])
+            outs[pk] = (seq, np.asarray(logits))
+        assert outs["grid"][0] == outs["persistent"][0]
+        np.testing.assert_array_equal(outs["grid"][1],
+                                      outs["persistent"][1])
