@@ -230,7 +230,26 @@ def cmd_bench(args):
     raise SystemExit(subprocess.call(cmd))
 
 
+
+def _setup_compile_cache():
+    """Persistent XLA compile cache (same knobs as bench.py): compress
+    pipelines at 7B shapes pay multi-minute remote compiles per distinct
+    projection shape — cache them across invocations."""
+    import os
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             os.pardir, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
+        jax.config.update("jax_traceback_in_locations_limit", 0)
+    except Exception:
+        pass
+
 def main(argv=None):
+    _setup_compile_cache()
     parser = argparse.ArgumentParser(
         prog="ccq",
         description="TPU-native CALDERA / Convex-CALDERA framework")
