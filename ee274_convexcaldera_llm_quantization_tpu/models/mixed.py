@@ -320,6 +320,45 @@ def mixed_segments(layers: MixedLayerStack, num_layers: int):
     return runs
 
 
+def truncate_mixed(params: MixedStackedParams,
+                   n_layers: int) -> MixedStackedParams:
+    """Early-exit view of a mixed model: the first ``n_layers`` blocks as
+    a standalone :class:`MixedStackedParams` sharing the embedding /
+    final-norm / head arrays.
+
+    The speculative self-draft for a mixed-precision target (round-5
+    composition, the 13B flagship serves ``decode_step_mixed_segmented``).
+    ``_build_projection`` assigns bucket members in layer order, so the
+    members with layer < ``n_layers`` are exactly a prefix of each bucket
+    stack — truncation is a per-bucket leading-axis slice plus a bucket
+    renumbering that drops buckets with no remaining members.
+    """
+    lp = params.layers
+    fields = {"attn_norm": lp.attn_norm[:n_layers],
+              "mlp_norm": lp.mlp_norm[:n_layers]}
+    for name in _PROJ_NAMES:
+        mp = getattr(lp, name)
+        keep = [(mp.bucket_of_static[l], mp.index_in_static[l])
+                for l in range(n_layers)]
+        used = []                     # surviving old bucket ids, in order
+        counts = {}                   # old id -> members kept
+        for b, i in keep:
+            if b not in used:
+                used.append(b)
+            counts[b] = max(counts.get(b, 0), i + 1)
+        buckets = tuple(
+            jax.tree.map(lambda a, n=counts[b]: a[:n], mp.buckets[b])
+            for b in used)
+        bucket_of = tuple(used.index(b) for b, _ in keep)
+        index_in = tuple(i for _, i in keep)
+        fields[name] = MixedProjection(
+            buckets=buckets,
+            bucket_of=jnp.asarray(bucket_of, jnp.int32),
+            index_in=jnp.asarray(index_in, jnp.int32),
+            bucket_of_static=bucket_of, index_in_static=index_in)
+    return params._replace(layers=MixedLayerStack(**fields))
+
+
 def prepare_fused_segments(params: MixedStackedParams,
                            config: ModelConfig):
     """Per-segment fused qkv / gate+up stacks for the segmented decode.

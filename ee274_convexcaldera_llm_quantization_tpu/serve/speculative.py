@@ -318,6 +318,11 @@ def _verify_step(params, tokens, pos, cache, config, interpret):
 
 def _draft_decode(draft_params, tokens, pos, dcache, dconfig, interpret):
     """One draft decode step; dispatch on the draft parameterization."""
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        mixed as mixedm)
+    if isinstance(draft_params, mixedm.MixedStackedParams):
+        return mixedm.decode_step_mixed_segmented(
+            draft_params, tokens, pos, dcache, dconfig, interpret=interpret)
     if isinstance(draft_params, fused.FusedStackedParams):
         return fused.decode_step_fused(draft_params, tokens, pos, dcache,
                                        dconfig, interpret=interpret)
@@ -471,7 +476,11 @@ def truncate_draft(params, config: ModelConfig,
     beyond views; quality depends on the checkpoint (undistilled early
     exits are weak drafts — the rejection sampler keeps the output exact
     regardless)."""
-    if isinstance(params, llama.ModelParams):
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        mixed as mixedm)
+    if isinstance(params, mixedm.MixedStackedParams):
+        new = mixedm.truncate_mixed(params, n_layers)
+    elif isinstance(params, llama.ModelParams):
         new = params._replace(layers=list(params.layers[:n_layers]))
     else:
         new = params._replace(
@@ -557,6 +566,12 @@ def generate_speculative(params: fused.FusedStackedParams, draft_params,
 
 
 def _draft_prefill(draft_params, tokens, slot, dcache, dconfig, interpret):
+    from ee274_convexcaldera_llm_quantization_tpu.models import (
+        mixed as mixedm)
+    if isinstance(draft_params, mixedm.MixedStackedParams):
+        return mixedm.prefill_into_slot_mixed(draft_params, tokens, slot,
+                                              dcache, dconfig,
+                                              interpret=interpret)
     if isinstance(draft_params, fused.FusedStackedParams):
         return fused.prefill_into_slot_fused(draft_params, tokens, slot,
                                              dcache, dconfig,

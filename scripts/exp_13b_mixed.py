@@ -79,6 +79,13 @@ def main():
                     "mixed-vs-uniform comparison stays apples-to-apples")
     ap.add_argument("--no-bench", action="store_true",
                     help="allocation + accounting only (no TPU timing)")
+    ap.add_argument("--speculative", default=None, metavar="GAMMA:DL",
+                    help="also time speculative decoding composed with "
+                         "the segmented mixed path (VERDICT r4 ask #7): "
+                         "GAMMA-token draft windows from a DL-layer mixed "
+                         "early-exit self-draft (truncate_mixed). Reports "
+                         "committed tok/s + acceptance. Requires "
+                         "--segmented.")
     args = ap.parse_args()
 
     import jax
@@ -292,6 +299,68 @@ def main():
     print(f"# decode: {dt * 1000:.2f} ms/step ({tok_s:.0f} tok/s), "
           f"roofline {roofline:.0f}, {tok_s / roofline * 100:.0f}%",
           file=sys.stderr, flush=True)
+
+    if args.speculative:
+        # --- 4. speculative x mixed-segmented composition (r5 ask #7) ---
+        from ee274_convexcaldera_llm_quantization_tpu.serve import (
+            speculative)
+        gamma, dl = (int(x) for x in args.speculative.split(":"))
+        draft, dconfig = speculative.truncate_draft(params, config, dl)
+        temps = jnp.zeros((B,), jnp.float32)        # greedy
+        tks = jnp.zeros((B,), jnp.int32)
+        tps = jnp.ones((B,), jnp.float32)
+        scache = llama.HeadMajorQuantKVCache.create(config, B, args.context)
+        dcache = llama.HeadMajorQuantKVCache.create(dconfig, B,
+                                                    args.context)
+        max_rounds = (args.context - pos0 - gamma - 2) // (gamma + 1)
+
+        @jax.jit
+        def multi_round(params, draft, n, scache, dcache):
+            def body(i, carry):
+                tok, pos, scache, dcache, committed = carry
+                key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+                out, n_new, nxt, new_pos, scache, dcache = \
+                    speculative.spec_decode_round(
+                        params, draft, tok, pos, scache, dcache, key,
+                        temps, tks, tps, config, dconfig, gamma=gamma,
+                        interpret=not use_pallas)
+                return (nxt, new_pos, scache, dcache,
+                        committed + jnp.sum(n_new))
+            pos = jnp.full((B,), pos0, jnp.int32)
+            return jax.lax.fori_loop(
+                0, n, body, (tokens, pos, scache, dcache, jnp.int32(0)))[4]
+
+        t0 = time.time()
+        int(multi_round(params, draft, 1, scache, dcache))
+        spec_compile_s = time.time() - t0
+        print(f"# spec round compiled in {spec_compile_s:.0f}s",
+              file=sys.stderr, flush=True)
+
+        def run(n):
+            return int(multi_round(params, draft, n, scache, dcache))
+
+        n1, n2 = 4, min(4 + args.steps // 2, max_rounds)
+        best1 = best2 = float("inf")
+        c1 = c2 = 0
+        for _ in range(3):
+            t0 = time.time(); c1 = run(n1)
+            best1 = min(best1, time.time() - t0)
+            t0 = time.time(); c2 = run(n2)
+            best2 = min(best2, time.time() - t0)
+        committed_tok_s = (c2 - c1) / (best2 - best1)
+        acc = (c2 - c1) / ((n2 - n1) * B) - 1
+        spec_row = {
+            "gamma": gamma, "draft_layers": dl,
+            "round_ms": round((best2 - best1) / (n2 - n1) * 1000, 2),
+            "accepted_per_round": round(acc, 2),
+            "acceptance_rate": round(acc / gamma, 3),
+            "committed_tok_s": round(committed_tok_s, 1),
+            "speedup_vs_plain": round(committed_tok_s / tok_s, 3),
+            "compile_s": round(spec_compile_s, 1),
+        }
+        results["speculative"] = spec_row
+        print(f"# spec x mixed: {spec_row}", file=sys.stderr, flush=True)
+
     print(json.dumps(results))
 
 

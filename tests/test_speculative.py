@@ -43,6 +43,44 @@ CACHES = {
 }
 
 
+def _build_mixed_model():
+    """4-layer [4,2,2,4]-bit mixed model (two segments, like the 13B
+    flagship) plus its stacked mixed form and config."""
+    import dataclasses as _dc
+    from ee274_convexcaldera_llm_quantization_tpu.models import mixed
+    from ee274_convexcaldera_llm_quantization_tpu.models.compressed \
+        import compress_linear, DenseLinear
+
+    CFG4 = _dc.replace(TINY, num_layers=4)
+    base = llama.init_params(jax.random.PRNGKey(2), CFG4)
+    rng = np.random.default_rng(17)
+    bits_sched = [4, 2, 2, 4]
+
+    def convert(lp, bits):
+        fields = {}
+        for name in llama.LayerParams._fields:
+            lin = getattr(lp, name)
+            if not isinstance(lin, DenseLinear):
+                fields[name] = lin
+                continue
+            m, k = lin.w.shape
+            L = jnp.asarray(
+                rng.normal(size=(m, 4)).astype(np.float32) * 0.05)
+            R = jnp.asarray(
+                rng.normal(size=(4, k)).astype(np.float32) * 0.05)
+            fields[name] = compress_linear(
+                lin.w.astype(jnp.float32), L, R, bits,
+                global_scale=1.0, bias=lin.b, mode="w4a8")
+        return llama.LayerParams(**fields)
+
+    model = llama.ModelParams(
+        embed=base.embed,
+        layers=[convert(lp, bits_sched[i])
+                for i, lp in enumerate(base.layers)],
+        final_norm=base.final_norm, lm_head=base.lm_head)
+    return model, mixed.stack_layers_mixed(model), CFG4
+
+
 class TestVerifyStep:
     @pytest.mark.parametrize("kind", list(CACHES))
     def test_matches_sequential_decode(self, target, kind):
@@ -126,39 +164,8 @@ class TestGreedyEquivalence:
         the 13B flagship's serving path — a segmented MIXED-precision
         target. Greedy spec output must equal vanilla greedy decoding
         through decode_step_mixed_segmented token-for-token."""
-        import dataclasses as _dc
         from ee274_convexcaldera_llm_quantization_tpu.models import mixed
-        from ee274_convexcaldera_llm_quantization_tpu.models.compressed \
-            import compress_linear, DenseLinear
-
-        CFG4 = _dc.replace(TINY, num_layers=4)
-        base = llama.init_params(jax.random.PRNGKey(2), CFG4)
-        rng = np.random.default_rng(17)
-        bits_sched = [4, 2, 2, 4]        # two segments, like the 13B model
-
-        def convert(lp, bits):
-            fields = {}
-            for name in llama.LayerParams._fields:
-                lin = getattr(lp, name)
-                if not isinstance(lin, DenseLinear):
-                    fields[name] = lin
-                    continue
-                m, k = lin.w.shape
-                L = jnp.asarray(
-                    rng.normal(size=(m, 4)).astype(np.float32) * 0.05)
-                R = jnp.asarray(
-                    rng.normal(size=(4, k)).astype(np.float32) * 0.05)
-                fields[name] = compress_linear(
-                    lin.w.astype(jnp.float32), L, R, bits,
-                    global_scale=1.0, bias=lin.b, mode="w4a8")
-            return llama.LayerParams(**fields)
-
-        model = llama.ModelParams(
-            embed=base.embed,
-            layers=[convert(lp, bits_sched[i])
-                    for i, lp in enumerate(base.layers)],
-            final_norm=base.final_norm, lm_head=base.lm_head)
-        mp = mixed.stack_layers_mixed(model)
+        model, mp, CFG4 = _build_mixed_model()
         assert len(mixed.mixed_segments(mp.layers, 4)) > 1
 
         B, S0, N = 2, 5, 10
@@ -189,6 +196,52 @@ class TestGreedyEquivalence:
             temperature=0.0,
             cache_factory=llama.HeadMajorQuantKVCache.create,
             draft_cache_factory=llama.KVCache.create, interpret=True)
+        assert out == ref
+
+    def test_spec_mixed_self_draft(self):
+        """Round-5: a MIXED early-exit self-draft (truncate_mixed) drives
+        speculative decoding against the mixed segmented target — the
+        zero-extra-weight draft the 13B chip bench uses. Greedy output
+        must equal vanilla segmented greedy token-for-token, and the
+        truncated draft must preserve per-layer bit widths."""
+        from ee274_convexcaldera_llm_quantization_tpu.models import mixed
+        _, mp, CFG4 = _build_mixed_model()
+
+        draft, dconfig = spec.truncate_draft(mp, CFG4, 2)
+        assert isinstance(draft, mixed.MixedStackedParams)
+        assert dconfig.num_layers == 2
+        for n in mixed._PROJ_NAMES:
+            full = mixed.num_bits_per_layer(getattr(mp.layers, n))
+            trunc = mixed.num_bits_per_layer(getattr(draft.layers, n))
+            assert trunc == full[:2]
+
+        B, S0, N = 2, 5, 10
+        prompts = _prompts(B, S0, seed=13)
+
+        cache = llama.HeadMajorQuantKVCache.create(CFG4, B, S0 + N + 16)
+        logits = []
+        for b in range(B):
+            lg, cache = mixed.prefill_into_slot_mixed(
+                mp, prompts[b:b + 1], jnp.asarray(b), cache, CFG4,
+                interpret=True)
+            logits.append(lg)
+        tok = jnp.argmax(jnp.stack(logits), axis=-1).astype(jnp.int32)
+        pos = jnp.full((B,), S0, jnp.int32)
+        ref = [[int(t)] for t in np.asarray(tok)]
+        for _ in range(N - 1):
+            lg, cache = mixed.decode_step_mixed_segmented(
+                mp, tok, pos, cache, CFG4, interpret=True)
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            pos = pos + 1
+            for b in range(B):
+                ref[b].append(int(tok[b]))
+
+        out = spec.generate_speculative(
+            mp, draft, prompts, N, CFG4, dconfig, gamma=3,
+            temperature=0.0,
+            cache_factory=llama.HeadMajorQuantKVCache.create,
+            draft_cache_factory=llama.HeadMajorQuantKVCache.create,
+            interpret=True)
         assert out == ref
 
     def test_adversarial_draft_still_exact(self, target):
