@@ -24,10 +24,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIGS = {
     "headline": [sys.executable, "bench.py"],
+    "headline-pers": [sys.executable, "bench.py", "--proj-kernel",
+                      "persistent"],
     "13b-uniform4": [sys.executable, "bench.py", "--model", "llama2-13b"],
     "13b-mixed2.5": [sys.executable, "scripts/exp_13b_mixed.py",
                      "--segmented"],
 }
+
+# cross-config claims: claimed only when the observed ranges separate
+PAIRS = [("13b-mixed2.5", "13b-uniform4", "mixed_vs_uniform_13b"),
+         ("headline-pers", "headline", "persistent_vs_grid_headline")]
 
 
 def tok_per_s(config, out):
@@ -50,7 +56,8 @@ def tok_per_s(config, out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--configs", default="headline,13b-uniform4,13b-mixed2.5")
+    ap.add_argument("--configs", default=(
+        "headline,headline-pers,13b-uniform4,13b-mixed2.5"))
     args = ap.parse_args()
 
     results = {}
@@ -77,16 +84,17 @@ def main():
         }
         print(json.dumps({config: results[config]}), flush=True)
 
-    if {"13b-uniform4", "13b-mixed2.5"} <= results.keys():
-        u, m = results["13b-uniform4"], results["13b-mixed2.5"]
-        delta = 100 * (m["median"] - u["median"]) / u["median"]
-        # claim only when the median gap clears the observed ranges
-        separated = (m["min"] > u["max"]) or (m["max"] < u["min"])
-        results["mixed_vs_uniform_13b"] = {
+    for a, b, name in PAIRS:
+        if not ({a, b} <= results.keys()):
+            continue
+        ra, rb = results[a], results[b]
+        delta = 100 * (ra["median"] - rb["median"]) / rb["median"]
+        separated = (ra["min"] > rb["max"]) or (ra["max"] < rb["min"])
+        results[name] = {
             "median_delta_pct": round(delta, 2),
             "ranges_separated": separated,
-            "verdict": ("mixed faster" if separated and delta > 0 else
-                        "uniform faster" if separated else
+            "verdict": (f"{a} faster" if separated and delta > 0 else
+                        f"{b} faster" if separated else
                         "statistically indistinguishable (claim: matches)"),
         }
     print(json.dumps(results), flush=True)
