@@ -42,7 +42,7 @@ def tok_per_s(config, out):
             rec = json.loads(line)
         except json.JSONDecodeError:
             continue
-        for key in ("value", "tok_per_s", "tokens_per_s"):
+        for key in ("value", "tok_per_s", "tokens_per_s", "decode_tok_s"):
             if key in rec:
                 return float(rec[key])
         if "bench" in rec and "tok_per_s" in rec["bench"]:
