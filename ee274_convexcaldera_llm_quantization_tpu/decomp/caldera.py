@@ -424,6 +424,47 @@ def _caldera_prep(
     return H, H_sqrt, eigvals, eigvecs, U_ldlq
 
 
+# XLA's TPU eigh materializes ~n^2-sized triangular-solve temporaries per
+# QR panel; at n=11008 the concurrent temps exceed a 16 GB v5e's HBM
+# (measured round 5: dozens of ~370 MB HLO temps in jit(eigh)). Above
+# this width the once-per-projection eigendecomposition runs on host
+# LAPACK instead, while every O(iters * mn^2) stage (H^{1/2} formation,
+# the LDLQ Cholesky pair, panel sweeps, lattice encode, alternation)
+# stays on the chip.
+_HOST_EIGH_MIN_N = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _prep_finish(params: CalderaParams, H: Array, eigvals: Array,
+                 eigvecs: Array):
+    """Device tail of the host-eigh prep path: H^{1/2} + the LDLQ pair."""
+    H_sqrt = lr.hessian_sqrt(lr.EighResult(eigvals, eigvecs))
+    if params.q_update == "ldlq":
+        U_ldlq = ldlq_precompute(H)
+    else:
+        U_ldlq = jnp.zeros((0, 0), jnp.float32)
+    return H, H_sqrt, eigvals, eigvecs, U_ldlq
+
+
+def _caldera_prep_host_eigh(params: CalderaParams, H: Array):
+    """:func:`_caldera_prep` with the eigendecomposition on host LAPACK.
+
+    Same math as ``lr.regularized_eigh`` (reference ``alg.py:53-66``):
+    symmetrize, eigendecompose (float64 LAPACK, then cast — at least as
+    accurate as the on-device f32 QDWH path), shift PSD by
+    ``sigma_reg``. The O(n^2) reconstruction work runs on device.
+    """
+    Hh = np.asarray(H, np.float32)
+    Hh = (Hh + Hh.T) / 2.0
+    w, v = np.linalg.eigh(Hh.astype(np.float64))
+    shift = max(float(params.sigma_reg) - float(w.min()), 0.0)
+    w = (w + shift).astype(np.float32)
+    if shift > 0:
+        Hh = Hh + np.float32(shift) * np.eye(Hh.shape[0], dtype=np.float32)
+    return _prep_finish(params, jnp.asarray(Hh), jnp.asarray(w),
+                        jnp.asarray(v.astype(np.float32)))
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def _caldera_core(
     params: CalderaParams,
@@ -488,6 +529,7 @@ def caldera_solve(
     global_scale: Array,
     key: Array,
     identity_hessian: bool = False,
+    host_eigh: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Jitted solve in two stages: returns (Q, L, R, errors).
 
@@ -497,8 +539,21 @@ def caldera_solve(
     H^{1/2}, the LDLQ Cholesky pair) and stage 2 (:func:`_caldera_core`:
     the alternation loop) compile as separate XLA programs — the fused
     graph exceeded the TPU compile helper's memory at 4096x11008.
+
+    ``host_eigh``: run the once-per-projection eigendecomposition on
+    host LAPACK instead of on-device (``None`` = auto: on TPU backends
+    when ``n >= _HOST_EIGH_MIN_N`` — XLA's TPU eigh temporaries exceed
+    single-chip HBM at n=11008, measured round 5). Irrelevant when the
+    Hessian is identity or ``activation_aware_LR`` is off (no eigh).
     """
-    prep = _caldera_prep(params, H, identity_hessian=identity_hessian)
+    needs_eigh = (not identity_hessian) and params.activation_aware_LR
+    if host_eigh is None:
+        host_eigh = (needs_eigh and H.shape[0] >= _HOST_EIGH_MIN_N
+                     and jax.devices()[0].platform in ("tpu", "axon"))
+    if host_eigh and needs_eigh:
+        prep = _caldera_prep_host_eigh(params, H)
+    else:
+        prep = _caldera_prep(params, H, identity_hessian=identity_hessian)
     return _caldera_core(params, W.astype(jnp.float32), *prep,
                          jnp.asarray(global_scale, jnp.float32), key)
 

@@ -86,6 +86,12 @@ def main():
                          "early-exit self-draft (truncate_mixed). Reports "
                          "committed tok/s + acceptance. Requires "
                          "--segmented.")
+    ap.add_argument("--spec-noise", type=float, default=0.0,
+                    help="multiplicative noise sigma on the draft's "
+                         "quantization scales (exp_spec.py's degradation "
+                         "knob): output stays exact, acceptance drops — "
+                         "maps committed tok/s off the self-draft's "
+                         "acceptance ceiling")
     args = ap.parse_args()
 
     import jax
@@ -306,6 +312,21 @@ def main():
             speculative)
         gamma, dl = (int(x) for x in args.speculative.split(":"))
         draft, dconfig = speculative.truncate_draft(params, config, dl)
+        if args.spec_noise > 0:
+            from jax.tree_util import keystr, tree_map_with_path
+            nkey = jax.random.PRNGKey(3)
+
+            def degrade(path, leaf):
+                name = keystr(path)
+                if "scale" in name and hasattr(leaf, "dtype"):
+                    k = jax.random.fold_in(nkey, abs(hash(name)) % (2**31))
+                    noise = 1.0 + args.spec_noise * jax.random.normal(
+                        k, leaf.shape, jnp.float32)
+                    return (leaf.astype(jnp.float32)
+                            * noise).astype(leaf.dtype)
+                return leaf
+
+            draft = tree_map_with_path(degrade, draft)
         temps = jnp.zeros((B,), jnp.float32)        # greedy
         tks = jnp.zeros((B,), jnp.int32)
         tps = jnp.ones((B,), jnp.float32)
@@ -351,6 +372,7 @@ def main():
         acc = (c2 - c1) / ((n2 - n1) * B) - 1
         spec_row = {
             "gamma": gamma, "draft_layers": dl,
+            "scale_noise": args.spec_noise,
             "round_ms": round((best2 - best1) / (n2 - n1) * 1000, 2),
             "accepted_per_round": round(acc, 2),
             "acceptance_rate": round(acc / gamma, 3),

@@ -84,6 +84,35 @@ class TestHessianAware:
                          H=H, scale_W=False)
         assert np.isfinite(np.asarray(decomp.reconstruct())).all()
 
+    def test_host_eigh_prep_matches_device(self):
+        """Round-5: above _HOST_EIGH_MIN_N the once-per-projection
+        eigendecomposition runs on host LAPACK (XLA's TPU eigh temps OOM
+        a 16 GB chip at n=11008, measured). The host path must solve to
+        the same decomposition as the on-device eigh path."""
+        from ee274_convexcaldera_llm_quantization_tpu.decomp import (
+            caldera as C)
+        rng = np.random.default_rng(6)
+        W = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32))
+        G = rng.normal(size=(64, 16)).astype(np.float32) / 4.0
+        H = jnp.asarray(G @ G.T + np.diag(1.0 + rng.random(64)
+                                          .astype(np.float32)))
+        params = smoke_params(rank=8, iters=2, lplr_iters=2)
+        gs = jnp.asarray(1.0, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        Qd, Ld, Rd, errd = C.caldera_solve(params, W, H, gs, key,
+                                           host_eigh=False)
+        Qh, Lh, Rh, errh = C.caldera_solve(params, W, H, gs, key,
+                                           host_eigh=True)
+        # L/R individually are rotation-ambiguous; the reconstruction,
+        # the quantized component, and the error trajectory are not.
+        np.testing.assert_allclose(np.asarray(Qh), np.asarray(Qd),
+                                   rtol=0, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(Qh + Lh @ Rh),
+                                   np.asarray(Qd + Ld @ Rd),
+                                   rtol=0, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(errh), np.asarray(errd),
+                                   rtol=5e-4, atol=1e-5)
+
     def test_full_vs_diag_identity_consistent(self):
         rng = np.random.default_rng(5)
         W = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
