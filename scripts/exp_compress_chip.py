@@ -82,6 +82,12 @@ def main():
     ap.add_argument("--rank", type=int, default=128)
     ap.add_argument("--solve-iters", type=int, default=2)
     ap.add_argument("--lplr-iters", type=int, default=2)
+    ap.add_argument("--rand-svd", action="store_true",
+                    help="randomized (Halko) SVD in LR_init — required at "
+                         "4096x11008 on chip: the exact QDWH-SVD's n^2 "
+                         "temporaries hard-crash the 16 GB worker "
+                         "(measured round 5), while the oversampled "
+                         "rank-2r sketch is tall-skinny")
     args = ap.parse_args()
 
     plat = jax.devices()[0].platform
@@ -102,7 +108,9 @@ def main():
             U, warm, cold = timed(pre_j, H, label=f"{shape} precompute")
             row["precompute_s"] = round(warm, 3)
             row["precompute_cold_s"] = round(cold, 3)
-        else:
+        elif "ldlq" in stages:
+            # only the ldlq stage consumes U; keeping it resident during
+            # a solve-only run wastes ~0.5 GB of HBM at n=11008
             U = pre_j(H)
 
         if "blocks" in stages:
@@ -120,7 +128,7 @@ def main():
             params = C.CalderaParams(
                 Q_bits=2, L_bits=16, R_bits=16, rank=args.rank,
                 iters=args.solve_iters, lplr_iters=args.lplr_iters,
-                q_update="ldlq",
+                q_update="ldlq", rand_svd=args.rand_svd,
                 quant_factory_Q=type(C.CalderaParams().quant_factory_Q)(
                     method="e8p", block_size="global"))
             key = jax.random.PRNGKey(0)
