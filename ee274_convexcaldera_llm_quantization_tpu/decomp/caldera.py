@@ -547,10 +547,14 @@ def caldera_solve(
     Hessian is identity or ``activation_aware_LR`` is off (no eigh).
     """
     needs_eigh = (not identity_hessian) and params.activation_aware_LR
+    # The host path needs a concrete H (numpy readback) — under a trace
+    # (e.g. vmapped caldera_batched) always use the on-device prep.
+    traced = isinstance(H, jax.core.Tracer)
     if host_eigh is None:
-        host_eigh = (needs_eigh and H.shape[0] >= _HOST_EIGH_MIN_N
+        host_eigh = (needs_eigh and not traced
+                     and H.shape[0] >= _HOST_EIGH_MIN_N
                      and jax.devices()[0].platform in ("tpu", "axon"))
-    if host_eigh and needs_eigh:
+    if host_eigh and needs_eigh and not traced:
         prep = _caldera_prep_host_eigh(params, H)
     else:
         prep = _caldera_prep(params, H, identity_hessian=identity_hessian)
